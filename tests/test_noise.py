@@ -1,0 +1,72 @@
+"""Tests for the Perlin noise tables and evaluation (reference: noise.h)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracingweekend_tpu.ops import noise
+
+
+def test_tables_shapes_and_determinism():
+    ranfloat, ranvec, px, py, pz = noise.NOISE_TABLES
+    assert ranfloat.shape == (256,)
+    assert ranvec.shape == (256, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(ranvec), axis=-1), np.ones(256), atol=1e-5)
+    for p in (px, py, pz):
+        assert sorted(np.asarray(p).tolist()) == list(range(256))
+    # Per-axis permutations must differ (fixes the degenerate XOR hash the
+    # reference would produce with identical default-seeded engines).
+    assert not np.array_equal(np.asarray(px), np.asarray(py))
+
+
+def test_noise_range_and_repeatability():
+    key = jax.random.key(2)
+    p = jax.random.uniform(key, (4096, 3), minval=-10.0, maxval=10.0)
+    n1 = noise.noise(p)
+    n2 = noise.noise(p)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    assert float(jnp.max(jnp.abs(n1))) <= 1.0 + 1e-5
+    # Gradient noise has zero mean at lattice scale.
+    assert abs(float(jnp.mean(n1))) < 0.05
+
+
+def test_noise_zero_at_lattice_points_perlin_mode():
+    # Gradient noise vanishes exactly on integer lattice points.
+    p = jnp.asarray(np.mgrid[0:4, 0:4, 0:4].reshape(3, -1).T, dtype=jnp.float32)
+    n = noise.noise(p)
+    np.testing.assert_allclose(np.asarray(n), np.zeros(len(p)), atol=1e-6)
+
+
+def test_noise_continuity():
+    # Nearby points give similar values (noise.h:63 "near by points return
+    # similar numbers").
+    p = jnp.array([[1.3, 2.7, 0.9]])
+    eps = 1e-3
+    n0 = float(noise.noise(p)[0])
+    n1 = float(noise.noise(p + eps)[0])
+    assert abs(n0 - n1) < 0.02
+
+
+def test_trilinear_and_none_modes():
+    p = jnp.array([[1.3, 2.7, 0.9], [0.1, 0.2, 0.3]])
+    nt = noise.noise(p, mode="trilinear")
+    nn = noise.noise(p, mode="none")
+    assert nt.shape == (2,)
+    assert nn.shape == (2,)
+    assert float(jnp.min(nt)) >= 0.0  # scalar-table interp stays in [0,1]
+    assert float(jnp.max(nt)) <= 1.0
+
+
+def test_turb_nonnegative_and_bounded():
+    key = jax.random.key(3)
+    p = jax.random.uniform(key, (2048, 3), minval=-5.0, maxval=5.0)
+    t = noise.turb(p)
+    assert float(jnp.min(t)) >= 0.0
+    # Geometric series bound: sum of 7 octaves of |noise|<=1 with weight 0.5^i.
+    assert float(jnp.max(t)) <= 2.0
+
+
+def test_smootherstep_variant_runs():
+    p = jnp.array([[1.3, 2.7, 0.9]])
+    n = noise.noise(p, smoother=True)
+    assert abs(float(n[0])) <= 1.0
