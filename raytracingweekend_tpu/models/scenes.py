@@ -1,0 +1,214 @@
+"""The reference scene library, rebuilt on SceneBuilder
+(reference: RayTracingWeekend/Scene/scene.h:42-249).
+
+Every constant below is copied from the corresponding scene constructor so
+renders are comparable; the compile-time typedef scene selector
+(RayTracingWeekend.cpp:199-202) becomes a runtime registry.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict
+
+from . import scene_types as st
+from .builder import SceneBuilder
+from ..utils.detrng import MinStd
+
+SCENES: Dict[str, Callable[..., st.Scene]] = {}
+
+
+def register(name):
+    def deco(fn):
+        SCENES[name] = fn
+        return fn
+    return deco
+
+
+def make_scene(name: str, aspect: float, **kw) -> st.Scene:
+    return SCENES[name](aspect, **kw)
+
+
+@register("light_sample")
+def light_sample(aspect: float) -> st.Scene:
+    """Perlin spheres + sphere light + rect light (Scene/scene.h:42-70)."""
+    b = SceneBuilder()
+    pertext = b.noise(4.0)
+    four = b.constant((4.0, 4.0, 4.0))
+    lam = b.lambertian(pertext)
+    light = b.diffuse_light(four)
+
+    b.sphere((0, -1000, 0), 1000.0, lam)
+    b.sphere((0, 2, 0), 2.0, lam)
+    b.sphere((0, 7, 0), 2.0, light)
+    b.rect("xy", 3.0, 5.0, 1.0, 3.0, -2.0, light)
+    # Note: the reference registers NO lights for this scene (scene.h:50-59
+    # pushes to `objects` only), so MIS falls back to pure cosine sampling.
+
+    lookfrom = (24.0, 5.0, 5.0)
+    lookat = (0.0, 3.0, 0.0)
+    dist = math.dist(lookfrom, lookat)
+    b.camera(lookfrom, lookat, (0, 1, 0), 20.0, aspect, 0.2, dist, 0.0, 1.0)
+    return b.build(background=st.BG_GRADIENT, name="light_sample")
+
+
+@register("dielectric")
+def dielectric_scene(aspect: float) -> st.Scene:
+    """Book-1 glass trio with the hollow negative-radius ball
+    (Scene/scene.h:72-96)."""
+    b = SceneBuilder()
+    b.sphere((0, 0, -1), 0.5, b.lambertian(b.constant((0.1, 0.2, 0.5))))
+    b.sphere((0, -100.5, -1), 100.0,
+             b.lambertian(b.constant((0.8, 0.8, 0.0))))
+    b.sphere((1, 0, -1), 0.5, b.metal((0.8, 0.6, 0.2), 0.0))
+    glass = b.dielectric(1.5)
+    b.sphere((-1, 0, -1), 0.5, glass)
+    b.sphere((-1, 0, -1), -0.45, glass)  # hollow shell (scene.h:85-86)
+    b.camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 120.0, aspect, 0.0, 10.0,
+             0.0, 1.0)
+    return b.build(background=st.BG_GRADIENT, name="dielectric")
+
+
+@register("random_balls")
+def random_balls_scene(aspect: float, moving: bool = True) -> st.Scene:
+    """Book-1 final scene: ~480 spheres on a 22x22 grid with motion blur on
+    the diffuse balls (Scene/scene.h:98-174). Layout is generated with a
+    deterministic minstd stream mirroring the default-seeded engine at
+    scene.h:103-104."""
+    b = SceneBuilder()
+    eng = MinStd()
+    b.sphere((0, -1000, 0), 1000.0, b.lambertian(b.constant((0.5, 0.5, 0.5))))
+
+    for a in range(-11, 11):
+        for bb in range(-11, 11):
+            choose_mat = eng.uniform()
+            center = (a + 0.9 * eng.uniform(), 0.2, bb + 0.9 * eng.uniform())
+            dx = center[0] - 4.0
+            dz = center[2] - 0.0
+            if math.sqrt(dx * dx + (center[1] - 0.2) ** 2 + dz * dz) <= 0.9:
+                continue
+            if choose_mat < 0.8:  # diffuse, moving (scene.h:119-139)
+                color = (eng.uniform() * eng.uniform(),
+                         eng.uniform() * eng.uniform(),
+                         eng.uniform() * eng.uniform())
+                lam = b.lambertian(b.constant(color))
+                if moving:
+                    c1 = (center[0], center[1] + 0.5 * eng.uniform(),
+                          center[2])
+                    b.sphere(center, 0.2, lam, center1=c1, time0=0.0,
+                             time1=1.0)
+                else:
+                    b.sphere(center, 0.2, lam)
+            elif choose_mat < 0.95:  # metal (scene.h:142-150)
+                color = (0.5 * (1 + eng.uniform()),
+                         0.5 * (1 + eng.uniform()),
+                         0.5 * (1 + eng.uniform()))
+                fuzz = 0.5 * eng.uniform()
+                b.sphere(center, 0.2, b.metal(color, fuzz))
+            else:  # glass (scene.h:151-156)
+                b.sphere(center, 0.2, b.dielectric(1.5))
+
+    b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
+    b.sphere((-4, 1, 0), 1.0, b.lambertian(b.constant((0.4, 0.2, 0.1))))
+    b.sphere((4, 1, 0), 1.0, b.metal((0.7, 0.6, 0.5), 0.0))
+
+    b.camera((13, 2, 3), (0, 0, 0), (0, 1, 0), 20.0, aspect, 0.0, 10.0,
+             0.0, 1.0)
+    return b.build(background=st.BG_GRADIENT, name="random_balls")
+
+
+@register("cornell_box")
+def cornell_box_scene(aspect: float, glass_sphere: bool = True,
+                      aluminum_box: bool = False) -> st.Scene:
+    """Book-3 Cornell box (Scene/scene.h:176-249): walls + area light +
+    rotated tall box; the short box is replaced by the glass sphere that is
+    also a light (the active #if 1 at scene.h:219-225). `glass_sphere=False`
+    restores the two-box book-2 variant; `aluminum_box=True` enables the
+    disabled metal tall box (scene.h:228-231)."""
+    b = SceneBuilder()
+    red = b.lambertian(b.constant((0.65, 0.05, 0.05)))
+    white = b.lambertian(b.constant((0.73, 0.73, 0.73)))
+    green = b.lambertian(b.constant((0.12, 0.45, 0.15)))
+    light = b.diffuse_light((15.0, 15.0, 15.0))
+
+    h_light = b.rect("xz", 213.0, 343.0, 227.0, 332.0, 554.0, light)
+    b.add_light(h_light)
+
+    b.rect("yz", 0.0, 555.0, 0.0, 555.0, 555.0, green, flip=True)
+    b.rect("yz", 0.0, 555.0, 0.0, 555.0, 0.0, red)
+    b.rect("xz", 0.0, 555.0, 0.0, 555.0, 555.0, white, flip=True)
+    b.rect("xz", 0.0, 555.0, 0.0, 555.0, 0.0, white)
+    b.rect("xy", 0.0, 555.0, 0.0, 555.0, 555.0, white, flip=True)
+
+    if glass_sphere:
+        h_glass = b.sphere((190.0, 90.0, 190.0), 90.0, b.dielectric(1.5))
+        b.add_light(h_glass)
+    else:
+        b.box((0, 0, 0), (165, 165, 165), white, rotate_y=-18.0,
+              translate=(130.0, 0.0, 65.0))
+
+    tall_mat = b.metal((0.8, 0.85, 0.88), 0.0) if aluminum_box else white
+    b.box((0, 0, 0), (165, 330, 165), tall_mat, rotate_y=15.0,
+          translate=(265.0, 0.0, 295.0))
+
+    b.camera((278, 278, -800), (278, 278, 0), (0, 1, 0), 40.0, aspect, 0.0,
+             10.0, 0.0, 1.0)
+    return b.build(background=st.BG_BLACK, name="cornell_box")
+
+
+@register("cornell_smoke")
+def cornell_smoke_scene(aspect: float) -> st.Scene:
+    """Book-2 smoke-boxes Cornell variant (capability parity with the
+    reference's constant_medium, hittable.h:420-489, and the committed
+    Volume.png render; the scene itself is from book 2 ch. volumes)."""
+    b = SceneBuilder()
+    red = b.lambertian(b.constant((0.65, 0.05, 0.05)))
+    white = b.lambertian(b.constant((0.73, 0.73, 0.73)))
+    green = b.lambertian(b.constant((0.12, 0.45, 0.15)))
+    light = b.diffuse_light((7.0, 7.0, 7.0))
+
+    h_light = b.rect("xz", 113.0, 443.0, 127.0, 432.0, 554.0, light)
+    b.add_light(h_light)
+    b.rect("yz", 0.0, 555.0, 0.0, 555.0, 555.0, green, flip=True)
+    b.rect("yz", 0.0, 555.0, 0.0, 555.0, 0.0, red)
+    b.rect("xz", 0.0, 555.0, 0.0, 555.0, 555.0, white, flip=True)
+    b.rect("xz", 0.0, 555.0, 0.0, 555.0, 0.0, white)
+    b.rect("xy", 0.0, 555.0, 0.0, 555.0, 555.0, white, flip=True)
+
+    fog = b.isotropic((1.0, 1.0, 1.0))
+    smoke = b.isotropic((0.0, 0.0, 0.0))
+    b.constant_medium_box((0, 0, 0), (165, 165, 165), 0.01, fog,
+                          rotate_y=-18.0, translate=(130.0, 0.0, 65.0))
+    b.constant_medium_box((0, 0, 0), (165, 330, 165), 0.01, smoke,
+                          rotate_y=15.0, translate=(265.0, 0.0, 295.0))
+
+    b.camera((278, 278, -800), (278, 278, 0), (0, 1, 0), 40.0, aspect, 0.0,
+             10.0, 0.0, 1.0)
+    return b.build(background=st.BG_BLACK, name="cornell_smoke")
+
+
+@register("two_perlin_spheres")
+def two_perlin_spheres(aspect: float) -> st.Scene:
+    """Book-2 marble spheres (capability parity for noise_texture,
+    texture.h:52-71)."""
+    b = SceneBuilder()
+    pertext = b.noise(4.0)
+    lam = b.lambertian(pertext)
+    b.sphere((0, -1000, 0), 1000.0, lam)
+    b.sphere((0, 2, 0), 2.0, lam)
+    b.camera((13, 2, 3), (0, 0, 0), (0, 1, 0), 20.0, aspect, 0.0, 10.0,
+             0.0, 1.0)
+    return b.build(background=st.BG_GRADIENT, name="two_perlin_spheres")
+
+
+@register("checker_spheres")
+def checker_spheres(aspect: float) -> st.Scene:
+    """Book-2 checker ground (capability parity for checker_texture,
+    texture.h:29-50)."""
+    b = SceneBuilder()
+    checker = b.checker(b.constant((0.2, 0.3, 0.1)),
+                        b.constant((0.9, 0.9, 0.9)))
+    b.sphere((0, -1000, 0), 1000.0, b.lambertian(checker))
+    b.sphere((0, 2, 0), 2.0, b.lambertian(checker))
+    b.camera((13, 2, 3), (0, 0, 0), (0, 1, 0), 20.0, aspect, 0.0, 10.0,
+             0.0, 1.0)
+    return b.build(background=st.BG_GRADIENT, name="checker_spheres")

@@ -1,0 +1,110 @@
+"""Wavefront material shading — scatter/emitted/scattering_pdf as masked
+vector branches (reference: material.h).
+
+The reference dispatches virtually per hit; here all five material types are
+evaluated as fused masked vector code over the whole wavefront and selected by
+type code. The lambertian branch carries the book-3 one-sample-MIS weighting
+(sampled pdf = mixture, numerator = BRDF-shaped scattering_pdf — SURVEY.md
+§3.2); metal/dielectric/isotropic are the reference's "specular" pdf_ptr ==
+nullptr path (material.h:51-57, RayTracingWeekend.cpp:114-115).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import scene_types as st
+from . import linalg, pdfs, sampling, textures
+from .geometry import Hit
+
+
+@struct.dataclass
+class ShadeResult:
+    direction: jnp.ndarray  # (N, 3) next ray direction (may be unnormalized)
+    weight: jnp.ndarray     # (N, 3) throughput multiplier for this vertex
+    emitted: jnp.ndarray    # (N, 3) radiance emitted at this vertex
+    scatter: jnp.ndarray    # (N,) bool — path continues
+
+
+def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
+    """One shading step for N rays at their hit points.
+
+    Implements the Shaded branch of color() (RayTracingWeekend.cpp:56-133):
+    emitted + attenuation * scattering_pdf * L(next) / pdf_val for pdf
+    materials, attenuation * L(next) for specular ones.
+    """
+    N = d_in.shape[0]
+    mats = scene.materials
+    mtype = mats.mtype[hit.mat]
+    tex_val = textures.eval_texture(mats.tex[hit.mat], hit.u, hit.v, hit.p,
+                                    scene)
+
+    k_mix, k_fuzz, k_diel, k_iso = jax.random.split(key, 4)
+
+    # --- emission (diffuse_light::emitted, material.h:238-244) ---
+    # One-sided: emits only when the ray direction agrees with the normal.
+    facing = linalg.dot(hit.normal, d_in) > 0
+    is_light = mtype == st.MAT_DIFFUSE_LIGHT
+    emitted = jnp.where((is_light & facing)[:, None], tex_val, 0.0)
+
+    # --- lambertian: cosine pdf + MIS mixture (material.h:77-122) ---
+    mix_dir, pdf_val = pdfs.mixture_sample_and_value(k_mix, hit.p, hit.normal,
+                                                     scene)
+    cosine = linalg.dot(hit.normal, linalg.normalize(mix_dir))
+    spdf = jnp.where(cosine < 0, 0.0, cosine / math.pi)  # material.h:115-119
+    lam_ok = pdf_val > 0.0  # cpp:126-127 pdf_val <= 0 -> return emitted
+    lam_weight = jnp.where(
+        lam_ok[:, None],
+        tex_val * (spdf / jnp.where(lam_ok, pdf_val, 1.0))[:, None],
+        0.0)
+
+    # --- metal (material.h:124-140) ---
+    reflected_unit = linalg.reflect(linalg.normalize(d_in), hit.normal)
+    fuzz = mats.fuzz[hit.mat]
+    metal_dir = reflected_unit + fuzz[:, None] * sampling.random_in_unit_sphere(
+        k_fuzz, (N,))
+
+    # --- dielectric (material.h:142-225) ---
+    ref_idx = mats.ref_idx[hit.mat]
+    d_dot_n = linalg.dot(d_in, hit.normal)
+    d_len = linalg.length(d_in)
+    inside = d_dot_n > 0
+    outward_normal = jnp.where(inside[:, None], -hit.normal, hit.normal)
+    ni_over_nt = jnp.where(inside, ref_idx, 1.0 / ref_idx)
+    # Schlick cosine: the author's corrected larger-angle form when exiting
+    # (material.h:160-183), plain cosine when entering.
+    ct = d_dot_n / d_len
+    cos_exit = jnp.sqrt(jnp.maximum(
+        1.0 - ref_idx * ref_idx * (1.0 - ct * ct), 0.0))
+    cosine = jnp.where(inside, cos_exit, -ct)
+    reflected = linalg.reflect(d_in, hit.normal)  # unnormalized (mat.h:194)
+    refracted, can_refract = linalg.refract(d_in, outward_normal, ni_over_nt)
+    reflect_prob = jnp.where(can_refract,
+                             linalg.schlick(cosine, ref_idx), 1.0)
+    coin = sampling.uniform(k_diel, (N,)) < reflect_prob
+    diel_dir = jnp.where(coin[:, None], reflected, refracted)
+
+    # --- isotropic (material.h:252-265) ---
+    iso_dir = sampling.random_in_unit_sphere(k_iso, (N,))
+
+    # --- select by material type ---
+    is_lam = mtype == st.MAT_LAMBERTIAN
+    is_metal = mtype == st.MAT_METAL
+    is_diel = mtype == st.MAT_DIELECTRIC
+    is_iso = mtype == st.MAT_ISOTROPIC
+
+    direction = jnp.where(
+        is_lam[:, None], mix_dir,
+        jnp.where(is_metal[:, None], metal_dir,
+                  jnp.where(is_diel[:, None], diel_dir, iso_dir)))
+    ones = jnp.ones_like(tex_val)
+    weight = jnp.where(
+        is_lam[:, None], lam_weight,
+        jnp.where(is_diel[:, None], ones,                 # attenuation (1,1,1)
+                  jnp.where((is_metal | is_iso)[:, None], tex_val, 0.0)))
+    scatter = jnp.where(is_lam, lam_ok, ~is_light)
+    return ShadeResult(direction=direction, weight=weight, emitted=emitted,
+                       scatter=scatter)

@@ -17,25 +17,11 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..utils.detrng import minstd_stream as _minstd_stream
+
 __all__ = ["noise", "turb", "NOISE_TABLES"]
 
 _SIZE = 256
-_MINSTD_A = 48271
-_MINSTD_M = 2147483647  # 2**31 - 1
-
-
-def _minstd_stream(n: int, seed: int = 1) -> np.ndarray:
-    """First n uniforms of std::minstd_rand (x -> 48271*x mod 2^31-1, seed 1).
-
-    The reference constructs a fresh default-seeded engine for each table
-    (noise.h:168-169,191-192,202-203), so every table sees the same stream.
-    """
-    out = np.empty(n, dtype=np.float64)
-    x = seed
-    for i in range(n):
-        x = (x * _MINSTD_A) % _MINSTD_M
-        out[i] = (x - 1) / (_MINSTD_M - 1)
-    return out
 
 
 def _make_tables():

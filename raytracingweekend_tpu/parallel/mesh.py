@@ -1,0 +1,92 @@
+"""Device-mesh scale-out for rendering and inverse rendering.
+
+The reference's only parallelism is shared-memory PPL parallel_for over
+rows x cols x samples with racy static RNGs (reference:
+RayTracingWeekend.cpp:186-193,213-219; SURVEY.md §2.3). The TPU-native
+equivalents here:
+
+- mesh axis "dp": image row-tiles, embarrassingly parallel, output stays
+  sharded (device-local canvas tiles);
+- mesh axis "sp": samples-per-pixel shards, combined with one psum over the
+  accumulator — the only cross-chip traffic in forward rendering;
+- gradient all-reduce for inverse rendering is the same psum applied to
+  scene-parameter grads.
+
+RNG is keyed per (tile, sample-shard) via fold_in, so sharded rendering is
+deterministic and statistically independent across devices by construction —
+the property the reference loses the moment it goes parallel.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import scene_types as st
+from ..ops import camera as camera_mod
+from ..ops import sampling
+from ..ops.integrator import trace
+
+__all__ = ["make_mesh", "render_sharded"]
+
+
+def make_mesh(dp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, sp) mesh over the available devices. dp shards image
+    row-tiles; sp shards samples-per-pixel."""
+    devices = devices if devices is not None else jax.devices()
+    assert dp * sp <= len(devices), (
+        f"need {dp * sp} devices, have {len(devices)}")
+    arr = np.asarray(devices[: dp * sp]).reshape(dp, sp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def _render_tile(scene: st.Scene, key, row0, nx: int, rows: int,
+                 ny_total: int, spp_shard: int, max_depth: int, mode: str):
+    """Render `rows` image rows starting at absolute row `row0` with
+    spp_shard samples each. Returns the radiance sum (rows, nx, 3)."""
+    n_pix = rows * nx
+    n_rays = n_pix * spp_shard
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    i = jnp.tile(pix % nx, spp_shard)
+    j = jnp.tile(pix // nx, spp_shard) + row0
+
+    k_u, k_v, k_cam, k_trace = jax.random.split(key, 4)
+    u = (i.astype(jnp.float32) + sampling.uniform(k_u, (n_rays,))) / nx
+    v = (j.astype(jnp.float32) + sampling.uniform(k_v, (n_rays,))) / ny_total
+    o, d, t = camera_mod.get_rays(k_cam, scene.camera, u, v)
+    rad = trace(k_trace, o, d, t, scene, max_depth=max_depth, mode=mode)
+    return rad.reshape(spp_shard, rows, nx, 3).sum(axis=0)
+
+
+def render_sharded(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
+                   spp: int, max_depth: int = 100, mode: str = "while"):
+    """Render (ny, nx) at `spp` with rows sharded over mesh axis "dp" and
+    samples over "sp". Returns the averaged canvas, sharded over rows.
+
+    The scene pytree is replicated to every device; each device traces its
+    (row-tile x sample-shard) block with an independent folded key; sample
+    shards are combined with a single psum over "sp" (the spp-sharded pixel
+    accumulation of SURVEY.md §2.3).
+    """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    assert ny % dp == 0, f"ny={ny} must divide by dp={dp}"
+    assert spp % sp == 0, f"spp={spp} must divide by sp={sp}"
+    rows = ny // dp
+    spp_shard = spp // sp
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+             out_specs=P("dp", None, None), check_vma=False)
+    def run(scene_rep, base_key):
+        di = jax.lax.axis_index("dp")
+        si = jax.lax.axis_index("sp")
+        k = jax.random.fold_in(jax.random.fold_in(base_key, di), si)
+        tile = _render_tile(scene_rep, k, di * rows, nx, rows, ny,
+                            spp_shard, max_depth, mode)
+        tile = jax.lax.psum(tile, "sp")
+        return tile
+
+    return run(scene, key) / spp
