@@ -1,0 +1,88 @@
+"""Differentiable rendering and inverse rendering.
+
+The reference has no gradient story; this is the capability BASELINE.md adds
+(pixel gradients allclose vs finite differences; inverse rendering by
+gradient descent on scene parameters). Design (SURVEY.md §7 step 7):
+
+- the forward path is the fixed-depth "scan" integrator, reverse-mode
+  differentiable end to end;
+- discrete *decisions* (hit/miss, material branch, mixture coin, dielectric
+  reflect/refract coin) are comparisons — naturally zero-gradient — and the
+  sampled *directions* are detached (stop_gradient) so geometry gradients use
+  the detached-sampling / reparameterized estimator: radiance derivatives
+  flow through hit points, normals, PDFs, textures, and attenuations but not
+  through the sampling chain itself;
+- with a fixed RNG key the whole renderer is a deterministic differentiable
+  function, so gradients can be checked against finite differences exactly.
+
+Scene parameters live in the Scene pytree, so `jax.grad` w.r.t. any subset
+(texture colors, emission, fuzz, refractive index, sphere centers/radii)
+works through `render_diff` via standard pytree surgery.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .models import scene_types as st
+from .ops import camera as camera_mod
+from .ops import sampling
+from .ops.integrator import trace
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "spp", "max_depth"))
+def render_diff(scene: st.Scene, key, nx: int, ny: int, spp: int,
+                max_depth: int = 8):
+    """Differentiable render: (ny, nx, 3) averaged over spp samples, using
+    the scan-mode integrator. Deterministic in `key`."""
+    n_pix = nx * ny
+    n_rays = n_pix * spp
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    i = jnp.tile(pix % nx, spp)
+    j = jnp.tile(pix // nx, spp)
+    k_u, k_v, k_cam, k_trace = jax.random.split(key, 4)
+    u = (i.astype(jnp.float32) + sampling.uniform(k_u, (n_rays,))) / nx
+    v = (j.astype(jnp.float32) + sampling.uniform(k_v, (n_rays,))) / ny
+    o, d, t = camera_mod.get_rays(k_cam, scene.camera, u, v)
+    rad = trace(k_trace, o, d, t, scene, max_depth=max_depth, mode="scan")
+    return rad.reshape(spp, ny, nx, 3).mean(axis=0)
+
+
+def l2_loss(scene: st.Scene, target, key, nx: int, ny: int, spp: int,
+            max_depth: int = 8):
+    img = render_diff(scene, key, nx, ny, spp, max_depth)
+    return jnp.mean((img - target) ** 2)
+
+
+def fit_texture_colors(scene: st.Scene, target, *, key, nx: int, ny: int,
+                       spp: int, max_depth: int = 8, steps: int = 100,
+                       lr: float = 0.5,
+                       log_fn: Callable[[int, float], None] | None = None):
+    """Inverse-rendering demo: gradient-descend the texture color table to
+    match a target image. Returns (fitted scene, final loss)."""
+    import optax
+
+    params = scene.textures.color
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(colors, k):
+        sc = scene.replace(textures=scene.textures.replace(color=colors))
+        return l2_loss(sc, target, k, nx, ny, spp, max_depth)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    loss = None
+    for step in range(steps):
+        k = jax.random.fold_in(key, step)
+        loss, g = grad_fn(params, k)
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = jnp.clip(params, 0.0, None)
+        if log_fn is not None:
+            log_fn(step, float(loss))
+    fitted = scene.replace(textures=scene.textures.replace(color=params))
+    return fitted, float(loss)

@@ -122,11 +122,15 @@ class SceneBuilder:
         return len(self._textures) - 1
 
     def image(self, pixels: np.ndarray) -> int:
-        """Image texture from an (H, W, 3) float array in [0, 1] — includes
-        the loader the reference lacks (texture.h:73-98 is dead code there)."""
+        """Image texture from an (H, W, 3) float array in [0, 1] with row 0 at
+        the image *bottom* (the utils.image loader convention) — includes the
+        loader the reference lacks (texture.h:73-98 is dead code there).
+
+        Stored top-down in the atlas so the reference's (1-v) row lookup
+        (texture.h:84) applies verbatim."""
         pixels = np.asarray(pixels, dtype=_REAL)
         assert pixels.ndim == 3 and pixels.shape[-1] == 3
-        self._images.append(pixels)
+        self._images.append(pixels[::-1])
         self._textures.append(_Tex(st.TEX_IMAGE, image_id=len(self._images) - 1))
         return len(self._textures) - 1
 

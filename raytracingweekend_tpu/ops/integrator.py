@@ -128,7 +128,7 @@ def trace_with_stats(key, o, d, time, scene: st.Scene, max_depth: int = 100):
 
     def body(state):
         bounce, oo, dd, tt, rad, act, count = state
-        count = count + jnp.sum(act.astype(jnp.int64))
+        count = count + jnp.sum(act.astype(jnp.float32))
         oo, dd, tt, rad, act = _bounce(scene, key, bounce, oo, dd, time, tt,
                                        rad, act)
         return bounce + 1, oo, dd, tt, rad, act, count
@@ -137,6 +137,6 @@ def trace_with_stats(key, o, d, time, scene: st.Scene, max_depth: int = 100):
     radiance = jnp.zeros((N, 3), o.dtype)
     active = jnp.ones((N,), bool)
     state = (jnp.asarray(0), o, d, tp, radiance, active,
-             jnp.zeros((), jnp.int64))
+             jnp.zeros((), jnp.float32))
     state = jax.lax.while_loop(cond, body, state)
     return state[4], state[6]

@@ -106,5 +106,9 @@ def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
         jnp.where(is_diel[:, None], ones,                 # attenuation (1,1,1)
                   jnp.where((is_metal | is_iso)[:, None], tex_val, 0.0)))
     scatter = jnp.where(is_lam, lam_ok, ~is_light)
+    # Detached sampling (SURVEY.md §7 step 7): the *sampled direction* carries
+    # no gradient; radiance derivatives flow through textures, PDFs, normals
+    # and hit points instead. Identity in the forward pass.
+    direction = jax.lax.stop_gradient(direction)
     return ShadeResult(direction=direction, weight=weight, emitted=emitted,
                        scatter=scatter)

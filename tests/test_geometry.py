@@ -146,10 +146,12 @@ def test_box_closest_face():
     assert bool(h.hit[0])
     np.testing.assert_allclose(float(h.t[0]), 4.0, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, 1], atol=1e-6)
-    # From inside, the back face (flipped normal) is hit.
+    # From inside toward -z, the z=-1 face is the flip_normals'd xy rect
+    # (hittable_list.h:79-81): normal (0,0,-1).
     h2 = _single(scene, (0, 0, 0), (0, 0, -1))
     np.testing.assert_allclose(float(h2.t[0]), 1.0, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(h2.normal[0]), [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h2.normal[0]), [0, 0, -1],
+                               atol=1e-6)
 
 
 def test_closest_hit_ordering_across_tables():
