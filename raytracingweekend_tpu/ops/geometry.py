@@ -83,7 +83,7 @@ def _sphere_candidate_t(o, d, time, t_min, spheres: st.Spheres, moving: bool):
     b = jnp.sum(oc * d[:, None, :], axis=-1)                # (N, S)
     cc = jnp.sum(oc * oc, axis=-1) - (spheres.radius**2)[None, :]
     disc = b * b - a * cc
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = linalg.safe_sqrt(disc)
     t_near = (-b - sq) / a
     t_far = (-b + sq) / a
     t_cand = jnp.where(t_near > t_min, t_near, t_far)
@@ -228,7 +228,7 @@ def _boundary_entry_exit(o_rot, d_rot, media: st.Media):
     r = media.p1[None, :, 0]
     cc = jnp.sum(oc * oc, axis=-1) - r * r
     disc = b * b - a * cc
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = linalg.safe_sqrt(disc)
     s_entry = (-b - sq) / a
     s_exit = (-b + sq) / a
     s_hit = disc > 0

@@ -12,7 +12,19 @@ import jax.numpy as jnp
 __all__ = [
     "dot", "cross", "length", "length_squared", "normalize", "lerp_ref",
     "reflect", "refract", "schlick", "onb_from_w", "onb_local", "vclamp",
+    "safe_sqrt",
 ]
+
+
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt clamped at 0 with a NaN-free reverse pass.
+
+    ``sqrt(max(x, 0))`` has derivative inf at the clamp, which turns masked
+    lanes into NaN gradients (inf * 0); the double-where makes the clamped
+    branch differentiate as a constant instead.
+    """
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +86,7 @@ def refract(v: jnp.ndarray, n: jnp.ndarray, ni_over_nt: jnp.ndarray):
     can_refract = disc > 0
     refr = (
         ni_over_nt[..., None] * (uv - n * dt[..., None])
-        - n * jnp.sqrt(jnp.maximum(disc, 0.0))[..., None]
+        - n * safe_sqrt(disc)[..., None]
     )
     return refr, can_refract
 

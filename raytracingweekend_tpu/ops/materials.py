@@ -77,8 +77,7 @@ def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
     # Schlick cosine: the author's corrected larger-angle form when exiting
     # (material.h:160-183), plain cosine when entering.
     ct = d_dot_n / d_len
-    cos_exit = jnp.sqrt(jnp.maximum(
-        1.0 - ref_idx * ref_idx * (1.0 - ct * ct), 0.0))
+    cos_exit = linalg.safe_sqrt(1.0 - ref_idx * ref_idx * (1.0 - ct * ct))
     cosine = jnp.where(inside, cos_exit, -ct)
     reflected = linalg.reflect(d_in, hit.normal)  # unnormalized (mat.h:194)
     refracted, can_refract = linalg.refract(d_in, outward_normal, ni_over_nt)
@@ -106,9 +105,9 @@ def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
         jnp.where(is_diel[:, None], ones,                 # attenuation (1,1,1)
                   jnp.where((is_metal | is_iso)[:, None], tex_val, 0.0)))
     scatter = jnp.where(is_lam, lam_ok, ~is_light)
-    # Detached sampling (SURVEY.md §7 step 7): the *sampled direction* carries
-    # no gradient; radiance derivatives flow through textures, PDFs, normals
-    # and hit points instead. Identity in the forward pass.
-    direction = jax.lax.stop_gradient(direction)
+    # Reparameterized sampling: the raw uniform draws are parameter-free, so
+    # the sampled direction is differentiable through the ONB frame / normals
+    # / Snell's law, matching what fixed-key finite differences measure; only
+    # discrete decisions (coins, branch selects) have zero gradient.
     return ShadeResult(direction=direction, weight=weight, emitted=emitted,
                        scatter=scatter)

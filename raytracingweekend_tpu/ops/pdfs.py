@@ -110,14 +110,14 @@ def _sphere_light_pdf(o, v, scene: st.Scene):
     b = jnp.sum(oc * v[:, None, :], axis=-1)
     cc = jnp.sum(oc * oc, axis=-1) - (rad * rad)[None]
     disc = b * b - a * cc
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = linalg.safe_sqrt(disc)
     t_near = (-b - sq) / a
     t_far = (-b + sq) / a
     t = jnp.where(t_near > _EPS_T, t_near, t_far)
     hit = (disc > 0) & (t > _EPS_T)
 
     dist2 = jnp.sum(oc * oc, axis=-1)
-    ctm = jnp.sqrt(jnp.maximum(1.0 - (rad * rad)[None] / dist2, 0.0))
+    ctm = linalg.safe_sqrt(1.0 - (rad * rad)[None] / dist2)
     solid_angle = 2.0 * math.pi * (1.0 - ctm)
     pdf = 1.0 / jnp.maximum(solid_angle, 1e-20)
     return jnp.where(hit, pdf, 0.0)

@@ -92,7 +92,7 @@ def random_to_sphere(key, radius, distance_squared):
     k1, k2 = jax.random.split(key)
     r1 = uniform(k1, shape)
     r2 = uniform(k2, shape)
-    ctm = jnp.sqrt(jnp.maximum(1.0 - radius * radius / distance_squared, 0.0))
+    ctm = linalg.safe_sqrt(1.0 - radius * radius / distance_squared)
     z = 1.0 + r2 * (ctm - 1.0)
     phi = 2.0 * math.pi * r1
     s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))

@@ -74,17 +74,26 @@ def test_grad_emission_matches_fd():
 
 
 def test_grad_sphere_radius_matches_fd():
-    # Geometry gradient through the quadratic solve; interior-hit paths
-    # dominate at this camera setup so detached-sampling FD agreement holds
-    # to a few percent (silhouette terms are the known bias).
-    scene = _simple_scene()
+    # Geometry gradient through the quadratic solve and the reparameterized
+    # ONB sampling frame. The camera fov is narrow (30 deg vs the sphere's
+    # 30-deg angular radius) so every ray hits well inside the silhouette:
+    # visibility is locally constant and FD measures exactly the continuous
+    # terms AD computes. (At wide fov, FD is dominated by silhouette hit/miss
+    # flips — a discontinuity AD cannot and should not see.)
+    b = SceneBuilder()
+    b.sphere((0, 0, -2), 1.0, b.lambertian(b.constant((0.5, 0.3, 0.7))))
+    b.camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 30.0, 1.0, 0.0, 1.0)
+    scene = b.build(background=st.BG_GRADIENT)
 
     def setter(sc, theta):
         r = sc.spheres.radius.at[0].set(theta)
         return sc.replace(spheres=sc.spheres.replace(radius=r))
 
-    _grad_vs_fd(scene, setter, lambda sc: sc.spheres.radius[0], eps=1e-3,
-                spp=16, rtol=0.2, atol=5e-3)
+    # eps must be large enough that the per-pixel radiance change clears the
+    # float32 ulp floor (the gradient here is ~1e-5/unit radius); 0.05 keeps
+    # the whole view inside the silhouette while giving FD ~25 ulp of signal.
+    _grad_vs_fd(scene, setter, lambda sc: sc.spheres.radius[0], eps=5e-2,
+                spp=16, rtol=0.15, atol=2e-6)
 
 
 def test_grad_metal_fuzz_is_finite():
@@ -108,12 +117,16 @@ def test_inverse_rendering_recovers_albedo():
     target = render_diff(target_scene, KEY, 12, 12, 16, 4)
 
     start = _simple_scene((0.5, 0.5, 0.5))
-    fitted, loss = fit_texture_colors(
+    fitted, _ = fit_texture_colors(
         start, target, key=KEY, nx=12, ny=12, spp=16, max_depth=4,
         steps=60, lr=0.05)
     got = np.asarray(fitted.textures.color[0])
     np.testing.assert_allclose(got, true_albedo, atol=0.05)
-    assert loss < 1e-4
+    # The per-step loss uses fresh fold_in keys, so it floors at MC variance;
+    # evaluated with the *target's* key the fitted scene must nearly re-render
+    # the target exactly.
+    final = float(l2_loss(fitted, target, KEY, 12, 12, 16, 4))
+    assert final < 1e-4, final
 
 
 def test_loss_is_jittable_and_decreasing():

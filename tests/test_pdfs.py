@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from raytracingweekend_tpu.models.builder import SceneBuilder
 from raytracingweekend_tpu.ops import linalg, pdfs, sampling
 
-N = 200_000
+_N_SIDE = 448
+N = _N_SIDE * _N_SIDE  # matches the stratified-grid direction count
 
 
 def _scene_with_lights(add):
@@ -21,9 +22,26 @@ def _scene_with_lights(add):
     return b.build()
 
 
-def _integrate_over_sphere(pdf_fn, key):
-    """MC integral of pdf over all directions: E_uniform[pdf] * 4pi."""
-    dirs = sampling.random_unit_vector(key, (N,))
+def _stratified_unit_vectors(key, n_side):
+    """Jittered-grid directions over the sphere (area-preserving (z, phi)
+    strata) — same estimator as uniform MC but with variance collapsed for
+    small-solid-angle integrands like distant-light PDFs."""
+    kz, kp = jax.random.split(key)
+    iz, ip = jnp.meshgrid(jnp.arange(n_side), jnp.arange(n_side),
+                          indexing="ij")
+    n = n_side * n_side
+    uz = (iz.reshape(-1) + jax.random.uniform(kz, (n,))) / n_side
+    up = (ip.reshape(-1) + jax.random.uniform(kp, (n,))) / n_side
+    z = 1.0 - 2.0 * uz
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * math.pi * up
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def _integrate_over_sphere(pdf_fn, key, n_side=_N_SIDE):
+    """Stratified MC integral of pdf over all directions:
+    E_uniform[pdf] * 4pi."""
+    dirs = _stratified_unit_vectors(key, n_side)
     vals = pdf_fn(dirs)
     return float(jnp.mean(vals) * 4.0 * math.pi)
 

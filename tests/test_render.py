@@ -55,9 +55,10 @@ def test_lambertian_white_furnace():
     b = SceneBuilder()
     albedo = (0.6, 0.4, 0.2)
     b.sphere((0, 0, -3), 1.0, b.lambertian(b.constant(albedo)))
-    # Enclosing emissive shell with negative radius (inward normal) so the
-    # one-sided emission test dot(normal, dir) > 0 passes for inside rays.
-    b.sphere((0, 0, 0), -50.0, b.diffuse_light((1.0, 1.0, 1.0)))
+    # Enclosing emissive shell. Positive radius: rays from inside hit the far
+    # root traveling outward, so dot(outward normal, dir) > 0 and the
+    # one-sided emission test (material.h:240-243) passes.
+    b.sphere((0, 0, 0), 50.0, b.diffuse_light((1.0, 1.0, 1.0)))
     b.camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 90.0, 1.0, 0.0, 1.0)
     scene = b.build(background=st.BG_BLACK)
     n = 4096
