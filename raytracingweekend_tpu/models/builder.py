@@ -267,9 +267,10 @@ class SceneBuilder:
             radius=jnp.asarray(rad), mat=jnp.asarray(smat),
             active=jnp.asarray(sact))
 
-        # Rects, padded to 8.
+        # Rects, padded to 8 (0 rows when the scene has none — compiles the
+        # whole rect path away).
         nr = len(self._rects)
-        R = _pad_to(nr, 8)
+        R = _pad_to(nr, 8) if nr else 0
         rdat = {k: np.zeros(R, _REAL) for k in
                 ("a0", "a1", "b0", "b1", "k", "flip", "cos_t", "sin_t")}
         rdat["flip"][:] = 1.0
@@ -296,9 +297,9 @@ class SceneBuilder:
             sin_t=jnp.asarray(rdat["sin_t"]), offset=jnp.asarray(roff),
             mat=jnp.asarray(rmat), active=jnp.asarray(ract))
 
-        # Media, padded to 4.
+        # Media, padded to 4 (0 rows when unused).
         nv = len(self._media)
-        V = _pad_to(nv, 4) if nv else 4
+        V = _pad_to(nv, 4) if nv else 0
         mkind = np.zeros(V, np.int32)
         mp0 = np.zeros((V, 3), _REAL)
         mp1 = np.ones((V, 3), _REAL)
@@ -362,6 +363,11 @@ class SceneBuilder:
             num=len(self._lights))
 
         ttypes = {t.ttype for t in self._textures}
+        complex_checker = any(
+            t.ttype == st.TEX_CHECKER
+            and (self._textures[t.even].ttype != st.TEX_CONSTANT
+                 or self._textures[t.odd].ttype != st.TEX_CONSTANT)
+            for t in self._textures)
         return st.Scene(
             spheres=spheres, rects=rects, media=media, materials=materials,
             textures=textures, lights=lights, camera=self._camera,
@@ -372,4 +378,5 @@ class SceneBuilder:
             has_noise_tex=st.TEX_NOISE in ttypes,
             has_image_tex=st.TEX_IMAGE in ttypes,
             has_checker_tex=st.TEX_CHECKER in ttypes,
+            needs_legacy_textures=complex_checker,
             name=name)

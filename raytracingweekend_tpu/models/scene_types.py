@@ -199,4 +199,9 @@ class Scene:
     has_noise_tex: bool = struct.field(pytree_node=False, default=False)
     has_image_tex: bool = struct.field(pytree_node=False, default=False)
     has_checker_tex: bool = struct.field(pytree_node=False, default=False)
+    # True when the packed shading rows (ops/packing.py) cannot express the
+    # texture graph (a checker with procedural children) and shading must use
+    # the gather-based evaluator. The reference never needs this.
+    needs_legacy_textures: bool = struct.field(pytree_node=False,
+                                               default=False)
     name: str = struct.field(pytree_node=False, default="")

@@ -23,12 +23,28 @@ deliberately not reproduced.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from ..models import scene_types as st
-from . import linalg, sampling
+from . import linalg, packing, sampling
+
+
+def use_pallas() -> bool:
+    """True when the Pallas TPU intersection kernel should be used.
+
+    Decided by backend (CPU test meshes and the multichip dry run take the
+    pure-XLA path); RTW_DISABLE_PALLAS=1 forces it off for A/B timing.
+    """
+    if os.environ.get("RTW_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover - backend probing never raises today
+        return False
 
 # Large finite sentinel: plays the role of std::numeric_limits<double>::max()
 # at RayTracingWeekend.cpp:52 while staying float32-safe in arithmetic.
@@ -44,7 +60,12 @@ KIND_MEDIUM = 2
 
 @struct.dataclass
 class Hit:
-    """Wavefront hit_record (hittable.h:16-29), SoA over N rays."""
+    """Wavefront hit_record (hittable.h:16-29), SoA over N rays.
+
+    `sattr` is the packed material+texture attribute row of the winning
+    primitive (ops/packing.py) — prefetched here so shading needs no
+    further table gathers. None when produced by paths that bypass packing.
+    """
     hit: jnp.ndarray      # (N,) bool
     t: jnp.ndarray        # (N,)
     p: jnp.ndarray        # (N, 3)
@@ -52,6 +73,7 @@ class Hit:
     u: jnp.ndarray        # (N,)
     v: jnp.ndarray        # (N,)
     mat: jnp.ndarray      # (N,) int32
+    sattr: jnp.ndarray | None = None  # (N, 16) packed shading row
 
 
 def _moving_center(spheres: st.Spheres, time, idx=None):
@@ -68,45 +90,53 @@ def _moving_center(spheres: st.Spheres, time, idx=None):
 
 
 def _sphere_candidate_t(o, d, time, t_min, spheres: st.Spheres, moving: bool):
-    """Per-(ray, sphere) candidate hit t, or BIG.
+    """Per-(ray, sphere) candidate hit t, or BIG. (N, S).
 
-    Implements the near-root-else-far-root rule of sphere.h:46-81. The
+    Implements the near-root-else-far-root rule of sphere.h:46-81,
+    component-wise so no (N, S, 3) intermediate ever exists — everything is
+    (N, S) elementwise work XLA fuses into the caller's min/argmin. The
     closest-so-far upper bound is applied by the caller's global min, which
     is equivalent because far > near always.
     """
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]            # (N, 1)
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    cx = spheres.center0[None, :, 0]                        # (1, S)
+    cy = spheres.center0[None, :, 1]
+    cz = spheres.center0[None, :, 2]
     if moving:
-        c = _moving_center(spheres, time[:, None])          # (N, S, 3)
-        oc = o[:, None, :] - c                              # (N, S, 3)
-    else:
-        oc = o[:, None, :] - spheres.center0[None, :, :]    # (N, S, 3)
-    a = linalg.dot(d, d)[:, None]                           # (N, 1)
-    b = jnp.sum(oc * d[:, None, :], axis=-1)                # (N, S)
-    cc = jnp.sum(oc * oc, axis=-1) - (spheres.radius**2)[None, :]
+        dc = spheres.center1 - spheres.center0
+        dt = spheres.time1 - spheres.time0
+        inv_dt = jnp.where(dt != 0, 1.0 / jnp.where(dt != 0, dt, 1.0), 0.0)
+        frac = (time[:, None] - spheres.time0[None, :]) * inv_dt[None, :]
+        cx = cx + frac * dc[None, :, 0]                     # (N, S)
+        cy = cy + frac * dc[None, :, 1]
+        cz = cz + frac * dc[None, :, 2]
+    ocx = ox - cx
+    ocy = oy - cy
+    ocz = oz - cz
+    a = dx * dx + dy * dy + dz * dz                         # (N, 1)
+    b = ocx * dx + ocy * dy + ocz * dz                      # (N, S)
+    cc = (ocx * ocx + ocy * ocy + ocz * ocz
+          - (spheres.radius ** 2)[None, :])
     disc = b * b - a * cc
     sq = linalg.safe_sqrt(disc)
-    t_near = (-b - sq) / a
-    t_far = (-b + sq) / a
+    inv_a = 1.0 / a
+    t_near = (-b - sq) * inv_a
+    t_far = (-b + sq) * inv_a
     t_cand = jnp.where(t_near > t_min, t_near, t_far)
     valid = (disc > 0) & (t_cand > t_min) & spheres.active[None, :]
     return jnp.where(valid, t_cand, BIG)
 
 
-def hit_spheres(o, d, time, t_min, spheres: st.Spheres, moving: bool,
-                block: int = 256):
-    """Closest sphere hit: (best_t (N,), best_idx (N,) int32).
-
-    Scans the sphere table in fixed-size blocks so peak memory is
-    O(N x block) — the wavefront analogue of the reference's O(1)-memory
-    linear scan, without its serialization.
-    """
+def _hit_spheres_xla(o, d, time, t_min, spheres: st.Spheres, moving: bool,
+                     block: int = 256):
+    """Pure-XLA closest sphere hit (CPU path / pallas fallback)."""
     S = spheres.count()
     N = o.shape[0]
-    if S == 0:
-        return jnp.full((N,), BIG), jnp.full((N,), -1, jnp.int32)
     if S <= block:
         t_cand = _sphere_candidate_t(o, d, time, t_min, spheres, moving)
+        best_t = jnp.min(t_cand, axis=-1)
         best_idx = jnp.argmin(t_cand, axis=-1).astype(jnp.int32)
-        best_t = jnp.take_along_axis(t_cand, best_idx[:, None], axis=-1)[:, 0]
         return best_t, best_idx
 
     assert S % block == 0, "builder pads sphere table to a block multiple"
@@ -125,8 +155,8 @@ def hit_spheres(o, d, time, t_min, spheres: st.Spheres, moving: bool,
         best_t, best_i = carry
         sph_blk, base = blk
         t_cand = _sphere_candidate_t(o, d, time, t_min, sph_blk, moving)
+        bt = jnp.min(t_cand, axis=-1)
         bi = jnp.argmin(t_cand, axis=-1).astype(jnp.int32)
-        bt = jnp.take_along_axis(t_cand, bi[:, None], axis=-1)[:, 0]
         better = bt < best_t
         return (jnp.where(better, bt, best_t),
                 jnp.where(better, base + bi, best_i)), None
@@ -137,39 +167,64 @@ def hit_spheres(o, d, time, t_min, spheres: st.Spheres, moving: bool,
     return best_t, best_i
 
 
-def _rect_object_space_ray(o, d, rects: st.Rects, transforms: bool):
-    """Move each ray into every rect's object space: translate by -offset
+def hit_spheres(o, d, time, t_min, spheres: st.Spheres, moving: bool,
+                block: int = 256):
+    """Closest sphere hit: (best_t (N,), best_idx (N,) int32).
+
+    On TPU this dispatches to the Pallas VMEM-resident kernel
+    (pallas_intersect.py); elsewhere to the fused XLA formulation. Both
+    return BIG / -1 (well, argmin row 0) for misses — callers test
+    ``best_t < BIG``.
+    """
+    N = o.shape[0]
+    S = spheres.count()
+    if S == 0:
+        return jnp.full((N,), BIG), jnp.full((N,), -1, jnp.int32)
+    if use_pallas():
+        from . import pallas_intersect as pi
+        tile = 512
+        n_pad = (-N) % tile
+        o_p = jnp.pad(o, ((0, n_pad), (0, 0)))
+        d_p = jnp.pad(d, ((0, n_pad), (0, 0)), constant_values=1.0)
+        t_p = jnp.pad(time, (0, n_pad))
+        rays = pi.pack_rays(o_p, d_p, t_p)
+        table = pi.pack_spheres(spheres)
+        bt, bi = pi.hit_spheres_pallas(rays, table, moving=moving,
+                                       t_min=float(t_min), tile=tile)
+        return bt[:N], bi[:N]
+    return _hit_spheres_xla(o, d, time, t_min, spheres, moving, block)
+
+
+def _rect_object_space_components(o, d, rects: st.Rects, transforms: bool):
+    """Ray components in every rect's object space: translate by -offset
     (hittable.h:299-301) then rotate by the rotate_y frame
-    (hittable.h:373-382). Returns (o_rot, d_rot), each (N, R, 3)."""
+    (hittable.h:373-382). Returns 6 (N, R) component arrays — never an
+    (N, R, 3) stack, so everything stays fusible elementwise work."""
+    ox_w, oy, oz_w = o[:, 0:1], o[:, 1:2], o[:, 2:3]        # (N, 1)
+    dx_w, dy, dz_w = d[:, 0:1], d[:, 1:2], d[:, 2:3]
     if not transforms:
-        o_rot = jnp.broadcast_to(o[:, None, :], (o.shape[0], rects.count(), 3))
-        d_rot = jnp.broadcast_to(d[:, None, :], o_rot.shape)
-        return o_rot, d_rot
-    osh = o[:, None, :] - rects.offset[None, :, :]          # (N, R, 3)
+        return ox_w, oy, oz_w, dx_w, dy, dz_w               # broadcastable
+    offx = rects.offset[None, :, 0]
+    offy = rects.offset[None, :, 1]
+    offz = rects.offset[None, :, 2]
     c, s = rects.cos_t[None, :], rects.sin_t[None, :]
-    ox = c * osh[..., 0] - s * osh[..., 2]
-    oz = s * osh[..., 0] + c * osh[..., 2]
-    dx = c * d[:, None, 0] - s * d[:, None, 2]
-    dz = s * d[:, None, 0] + c * d[:, None, 2]
-    o_rot = jnp.stack([ox, osh[..., 1], oz], axis=-1)
-    d_rot = jnp.stack([dx, jnp.broadcast_to(d[:, None, 1], dx.shape), dz],
-                      axis=-1)
-    return o_rot, d_rot
+    shx = ox_w - offx
+    shz = oz_w - offz
+    ox = c * shx - s * shz
+    oz = s * shx + c * shz
+    dx = c * dx_w - s * dz_w
+    dz = s * dx_w + c * dz_w
+    return ox, oy - offy, oz, dx, dy * jnp.ones_like(dx), dz
 
 
-def _rect_axes(rects: st.Rects):
-    """Component indices (a, b, n) per rect from the axis code:
-    xy -> (0,1,2), xz -> (0,2,1), yz -> (1,2,0) (hittable.h:142-267)."""
-    axis = rects.axis
-    ia = jnp.where(axis == st.RECT_YZ, 1, 0)
-    ib = jnp.where(axis == st.RECT_XY, 1, 2)
-    inrm = jnp.where(axis == st.RECT_XY, 2, jnp.where(axis == st.RECT_XZ, 1, 0))
-    return ia, ib, inrm
-
-
-def _pick(v, idx):
-    """Select component `idx` (N- or R-shaped int) from trailing xyz axis."""
-    return jnp.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
+def _select_axis(axis, x, y, z):
+    """Per-rect (a, b, n) component selection from the axis code without
+    gathers: xy -> (x,y,z), xz -> (x,z,y), yz -> (y,z,x)
+    (hittable.h:142-267). axis broadcasts as (1, R) against (N, R) comps."""
+    a = jnp.where(axis == st.RECT_YZ, y, x)
+    b = jnp.where(axis == st.RECT_XY, y, z)
+    n = jnp.where(axis == st.RECT_XY, z, jnp.where(axis == st.RECT_XZ, y, x))
+    return a, b, n
 
 
 def hit_rects(o, d, t_min, rects: st.Rects, transforms: bool):
@@ -182,16 +237,14 @@ def hit_rects(o, d, t_min, rects: st.Rects, transforms: bool):
     R = rects.count()
     if R == 0:
         return jnp.full((N,), BIG), jnp.full((N,), -1, jnp.int32)
-    o_rot, d_rot = _rect_object_space_ray(o, d, rects, transforms)
-    ia, ib, inrm = _rect_axes(rects)
-    ia = jnp.broadcast_to(ia[None, :], (N, R))
-    ib = jnp.broadcast_to(ib[None, :], (N, R))
-    inrm = jnp.broadcast_to(inrm[None, :], (N, R))
-    o_n = _pick(o_rot, inrm)
-    d_n = _pick(d_rot, inrm)
+    ox, oy, oz, dx, dy, dz = _rect_object_space_components(
+        o, d, rects, transforms)
+    axis = rects.axis[None, :]
+    o_a, o_b, o_n = _select_axis(axis, ox, oy, oz)
+    d_a, d_b, d_n = _select_axis(axis, dx, dy, dz)
     t = (rects.k[None, :] - o_n) / d_n                      # (N, R)
-    pa = _pick(o_rot, ia) + t * _pick(d_rot, ia)
-    pb = _pick(o_rot, ib) + t * _pick(d_rot, ib)
+    pa = o_a + t * d_a
+    pb = o_b + t * d_b
     valid = (
         (t > t_min)
         & (pa >= rects.a0[None, :]) & (pa <= rects.a1[None, :])
@@ -199,8 +252,8 @@ def hit_rects(o, d, t_min, rects: st.Rects, transforms: bool):
         & rects.active[None, :]
     )
     t_cand = jnp.where(valid, t, BIG)
+    best_t = jnp.min(t_cand, axis=-1)
     best_idx = jnp.argmin(t_cand, axis=-1).astype(jnp.int32)
-    best_t = jnp.take_along_axis(t_cand, best_idx[:, None], axis=-1)[:, 0]
     return best_t, best_idx
 
 
@@ -270,18 +323,24 @@ def hit_media(key, o, d, t_min, media: st.Media):
     t_cand = entry + hit_distance / dlen
     valid = bhit & (entry < exit_) & (t_cand < exit_) & media.active[None, :]
     t_cand = jnp.where(valid, t_cand, BIG)
+    best_t = jnp.min(t_cand, axis=-1)
     best_idx = jnp.argmin(t_cand, axis=-1).astype(jnp.int32)
-    best_t = jnp.take_along_axis(t_cand, best_idx[:, None], axis=-1)[:, 0]
     return best_t, best_idx
 
 
-def closest_hit(key, o, d, time, scene: st.Scene, t_min=T_MIN) -> Hit:
+def closest_hit(key, o, d, time, scene: st.Scene, t_min=T_MIN,
+                want_uv: bool | None = None) -> Hit:
     """Full-scene closest hit for a wavefront of N rays.
 
     Returns a Hit with surface attributes (p, normal, u, v, mat) resolved
     from the winning primitive, replicating hit_record fill-in of the
-    per-class hit() methods.
+    per-class hit() methods. uv is consumed only by image textures, so its
+    arctan2/arcsin work is skipped unless the scene has one (hit.u/v read 0);
+    pass want_uv=True to force it (the full hit_record contract,
+    hittable.h:16-29).
     """
+    if want_uv is None:
+        want_uv = scene.has_image_tex
     N = o.shape[0]
     st_t, st_i = hit_spheres(o, d, time, t_min, scene.spheres,
                              scene.has_moving_spheres)
@@ -292,9 +351,9 @@ def closest_hit(key, o, d, time, scene: st.Scene, t_min=T_MIN) -> Hit:
         md_t = jnp.full((N,), BIG)
         md_i = jnp.full((N,), -1, jnp.int32)
 
-    ts = jnp.stack([st_t, rc_t, md_t], axis=-1)              # (N, 3)
-    kind = jnp.argmin(ts, axis=-1).astype(jnp.int32)
-    best_t = jnp.take_along_axis(ts, kind[:, None], axis=-1)[:, 0]
+    best_t = jnp.minimum(jnp.minimum(st_t, rc_t), md_t)
+    kind = jnp.where(st_t == best_t, KIND_SPHERE,
+                     jnp.where(rc_t == best_t, KIND_RECT, KIND_MEDIUM))
     hit = best_t < BIG
     kind = jnp.where(hit, kind, KIND_NONE)
 
@@ -304,79 +363,104 @@ def closest_hit(key, o, d, time, scene: st.Scene, t_min=T_MIN) -> Hit:
 
     p_world = o + best_t[:, None] * d
 
-    # --- sphere attribute resolution (sphere.h:56-77,115-122) ---
-    sph = scene.spheres
-    s_idx = jnp.where(kind == KIND_SPHERE, idx, 0)
+    # --- packed attribute resolution ---
+    # ONE row gather per table instead of ~15 small-table gathers (each
+    # costs milliseconds at wavefront sizes on TPU); see ops/packing.py.
+    base_r = scene.spheres.count()
+    base_v = base_r + scene.rects.count()
+    prim = jnp.where(kind == KIND_SPHERE, idx,
+                     jnp.where(kind == KIND_RECT, idx + base_r,
+                               idx + base_v))
+    geo = packing.pack_geometry(scene)[prim]      # (N, 16)
+    sattr = packing.pack_shading(scene)[prim]     # (N, 16)
+    mat = jnp.where(hit, geo[:, packing.G_MAT].astype(jnp.int32), 0)
+
+    is_s = kind == KIND_SPHERE
+    is_r = kind == KIND_RECT
+
+    # --- sphere normal / uv (sphere.h:56-77,115-122) ---
+    cx = geo[:, packing.GS_C0X]
+    cy = geo[:, packing.GS_C0Y]
+    cz = geo[:, packing.GS_C0Z]
     if scene.has_moving_spheres:
-        c = _moving_center(sph, time, s_idx)
+        frac = (time - geo[:, packing.GS_T0]) * geo[:, packing.GS_IDT]
+        cx = cx + frac * geo[:, packing.GS_DCX]
+        cy = cy + frac * geo[:, packing.GS_DCY]
+        cz = cz + frac * geo[:, packing.GS_DCZ]
+    rad = geo[:, packing.GS_RAD]
+    # safe reciprocal: non-sphere rows carry arbitrary lane values (possibly
+    # 0); the double-where keeps both passes NaN-free under the mask.
+    nz = rad != 0
+    inv_r = jnp.where(nz, 1.0 / jnp.where(nz, rad, 1.0), 0.0)
+    s_normal = (p_world - jnp.stack([cx, cy, cz], axis=-1)) * inv_r[:, None]
+    if want_uv:
+        s_u, s_v = sampling.get_sphere_uv(s_normal)
     else:
-        c = sph.center0[s_idx]
-    s_r = sph.radius[s_idx]
-    s_normal = (p_world - c) / s_r[:, None]  # negative radius flips inward
-    s_u, s_v = sampling.get_sphere_uv(s_normal)
-    s_mat = sph.mat[s_idx]
+        s_u = s_v = jnp.zeros((N,), o.dtype)
 
-    # --- rect attribute resolution (hittable.h:149-267 + transforms) ---
-    rects = scene.rects
-    r_idx = jnp.where(kind == KIND_RECT, idx, 0)
-    r_off = rects.offset[r_idx]
-    r_cos = rects.cos_t[r_idx]
-    r_sin = rects.sin_t[r_idx]
-    if scene.has_rect_transforms:
-        osh = o - r_off
-        o_obj = jnp.stack([
-            r_cos * osh[:, 0] - r_sin * osh[:, 2],
-            osh[:, 1],
-            r_sin * osh[:, 0] + r_cos * osh[:, 2]], axis=-1)
-        d_obj = jnp.stack([
-            r_cos * d[:, 0] - r_sin * d[:, 2],
-            d[:, 1],
-            r_sin * d[:, 0] + r_cos * d[:, 2]], axis=-1)
+    # --- rect normal / uv (hittable.h:149-267 + baked transforms) ---
+    if scene.rects.count():
+        axis = geo[:, packing.GR_AXIS]
+        flip = geo[:, packing.GR_FLIP]
+        zero = jnp.zeros_like(flip)
+        nx_o = jnp.where(axis == st.RECT_YZ, flip, zero)
+        ny_o = jnp.where(axis == st.RECT_XZ, flip, zero)
+        nz_o = jnp.where(axis == st.RECT_XY, flip, zero)
+        if scene.has_rect_transforms:
+            rc = geo[:, packing.GR_COS]
+            rs = geo[:, packing.GR_SIN]
+            r_normal = jnp.stack([rc * nx_o + rs * nz_o, ny_o,
+                                  -rs * nx_o + rc * nz_o], axis=-1)
+        else:
+            r_normal = jnp.stack([nx_o, ny_o, nz_o], axis=-1)
+        if want_uv:
+            if scene.has_rect_transforms:
+                rc = geo[:, packing.GR_COS]
+                rs = geo[:, packing.GR_SIN]
+                shx = o[:, 0] - geo[:, packing.GR_OFFX]
+                shy = o[:, 1] - geo[:, packing.GR_OFFY]
+                shz = o[:, 2] - geo[:, packing.GR_OFFZ]
+                ox_o = rc * shx - rs * shz
+                oz_o = rs * shx + rc * shz
+                dx_o = rc * d[:, 0] - rs * d[:, 2]
+                dz_o = rs * d[:, 0] + rc * d[:, 2]
+                px = ox_o + best_t * dx_o
+                py = shy + best_t * d[:, 1]
+                pz = oz_o + best_t * dz_o
+            else:
+                px = p_world[:, 0]
+                py = p_world[:, 1]
+                pz = p_world[:, 2]
+            pa, pb, _ = _select_axis(axis, px, py, pz)
+            a0 = geo[:, packing.GR_A0]
+            a1 = geo[:, packing.GR_A1]
+            b0 = geo[:, packing.GR_B0]
+            b1 = geo[:, packing.GR_B1]
+            da = a1 - a0
+            db = b1 - b0
+            nza = da != 0
+            nzb = db != 0
+            r_u = (pa - a0) * jnp.where(nza, 1.0 / jnp.where(nza, da, 1.0),
+                                        0.0)
+            r_v = (pb - b0) * jnp.where(nzb, 1.0 / jnp.where(nzb, db, 1.0),
+                                        0.0)
+        else:
+            r_u = r_v = jnp.zeros((N,), o.dtype)
     else:
-        o_obj, d_obj = o, d
-    p_obj = o_obj + best_t[:, None] * d_obj
-    ia, ib, inrm = _rect_axes(rects)
-    ia, ib, inrm = ia[r_idx], ib[r_idx], inrm[r_idx]
-    pa = _pick(p_obj, ia)
-    pb = _pick(p_obj, ib)
-    r_u = (pa - rects.a0[r_idx]) / (rects.a1[r_idx] - rects.a0[r_idx])
-    r_v = (pb - rects.b0[r_idx]) / (rects.b1[r_idx] - rects.b0[r_idx])
-    n_obj = (jax.nn.one_hot(inrm, 3, dtype=o.dtype)
-             * rects.flip[r_idx][:, None])
-    if scene.has_rect_transforms:
-        r_normal = jnp.stack([
-            r_cos * n_obj[:, 0] + r_sin * n_obj[:, 2],
-            n_obj[:, 1],
-            -r_sin * n_obj[:, 0] + r_cos * n_obj[:, 2]], axis=-1)
-        rp = jnp.stack([
-            r_cos * p_obj[:, 0] + r_sin * p_obj[:, 2],
-            p_obj[:, 1],
-            -r_sin * p_obj[:, 0] + r_cos * p_obj[:, 2]], axis=-1)
-        r_p = rp + r_off
-    else:
-        r_normal = n_obj
-        r_p = p_obj
-    r_mat = rects.mat[r_idx]
+        r_normal = jnp.zeros((N, 3), o.dtype)
+        r_u = r_v = jnp.zeros((N,), o.dtype)
 
-    # --- medium attribute resolution (hittable.h:469-473) ---
-    m_idx = jnp.where(kind == KIND_MEDIUM, idx, 0)
-    if scene.has_media:
-        m_mat = scene.media.mat[m_idx]
-    else:
-        m_mat = jnp.zeros((N,), jnp.int32)
-    m_normal = jnp.broadcast_to(
-        jnp.array([1.0, 0.0, 0.0], dtype=o.dtype), (N, 3))
+    # medium normal: arbitrary (1,0,0) (hittable.h:469-473)
+    m_normal = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=o.dtype),
+                                (N, 3))
 
-    is_s = (kind == KIND_SPHERE)[:, None]
-    is_r = (kind == KIND_RECT)[:, None]
-    p = jnp.where(is_s, p_world, jnp.where(is_r, r_p, p_world))
-    normal = jnp.where(is_s, s_normal, jnp.where(is_r, r_normal, m_normal))
-    uu = jnp.where(is_s[:, 0], s_u, jnp.where(is_r[:, 0], r_u, 0.0))
-    vv = jnp.where(is_s[:, 0], s_v, jnp.where(is_r[:, 0], r_v, 0.0))
-    mat = jnp.where(is_s[:, 0], s_mat, jnp.where(is_r[:, 0], r_mat, m_mat))
-    mat = jnp.where(hit, mat, 0)
+    normal = jnp.where(is_s[:, None], s_normal,
+                       jnp.where(is_r[:, None], r_normal, m_normal))
+    uu = jnp.where(is_s, s_u, jnp.where(is_r, r_u, 0.0))
+    vv = jnp.where(is_s, s_v, jnp.where(is_r, r_v, 0.0))
 
-    return Hit(hit=hit, t=best_t, p=p, normal=normal, u=uu, v=vv, mat=mat)
+    return Hit(hit=hit, t=best_t, p=p_world, normal=normal, u=uu, v=vv,
+               mat=mat, sattr=sattr)
 
 
 def hit_aabb(o, d, box_min, box_max, t_min, t_max):

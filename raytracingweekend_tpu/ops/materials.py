@@ -17,8 +17,45 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..models import scene_types as st
-from . import linalg, pdfs, sampling, textures
+from . import linalg, packing, pdfs, sampling, textures
 from .geometry import Hit
+
+
+def _eval_texture_packed(sh, u, v, p, scene: st.Scene):
+    """texture::value over the packed shading rows (ops/packing.py) —
+    gather-free except the image atlas lookup. sh: (N, 16) -> (N, 3)."""
+    ttype = sh[:, packing.S_TTYPE]
+    out = sh[:, packing.S_COL:packing.S_COL + 3]
+    if scene.has_checker_tex:
+        # sign of sin(10x)sin(10y)sin(10z) picks the child (texture.h:35-46);
+        # child colors are baked constants (the only form the reference uses).
+        sines = (jnp.sin(10.0 * p[..., 0]) * jnp.sin(10.0 * p[..., 1])
+                 * jnp.sin(10.0 * p[..., 2]))
+        cval = jnp.where(sines[:, None] < 0,
+                         sh[:, packing.S_ODD:packing.S_ODD + 3],
+                         sh[:, packing.S_EVEN:packing.S_EVEN + 3])
+        out = jnp.where((ttype == st.TEX_CHECKER)[:, None], cval, out)
+    if scene.has_noise_tex:
+        from . import noise as noise_mod
+        scale = sh[:, packing.S_SCALE]
+        mode = sh[:, packing.S_NMODE]
+        turb_p = noise_mod.turb(p)
+        marble = 0.5 * (1.0 + jnp.sin(scale * p[..., 2] + 10.0 * turb_p))
+        smooth = 0.5 * (1.0 + noise_mod.noise(p * scale[..., None]))
+        turbv = noise_mod.turb(p * scale[..., None])
+        nval = jnp.where(mode == st.NOISE_MARBLE, marble,
+                         jnp.where(mode == st.NOISE_SMOOTH, smooth, turbv))
+        out = jnp.where((ttype == st.TEX_NOISE)[:, None], nval[:, None], out)
+    if scene.has_image_tex and scene.textures.images is not None:
+        img_id = sh[:, packing.S_IMG].astype(jnp.int32)
+        hw = scene.textures.image_hw[img_id]
+        ny = hw[..., 0]
+        nx = hw[..., 1]
+        i = jnp.clip((u * nx).astype(jnp.int32), 0, nx - 1)
+        j = jnp.clip(((1.0 - v) * ny - 0.001).astype(jnp.int32), 0, ny - 1)
+        ival = scene.textures.images[img_id, j, i]
+        out = jnp.where((ttype == st.TEX_IMAGE)[:, None], ival, out)
+    return out
 
 
 @struct.dataclass
@@ -37,10 +74,19 @@ def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
     materials, attenuation * L(next) for specular ones.
     """
     N = d_in.shape[0]
-    mats = scene.materials
-    mtype = mats.mtype[hit.mat]
-    tex_val = textures.eval_texture(mats.tex[hit.mat], hit.u, hit.v, hit.p,
-                                    scene)
+    if hit.sattr is not None and not scene.needs_legacy_textures:
+        # packed fast path: zero material-table gathers (ops/packing.py)
+        mtype = hit.sattr[:, packing.S_MTYPE].astype(jnp.int32)
+        fuzz_all = hit.sattr[:, packing.S_FUZZ]
+        ref_idx_all = hit.sattr[:, packing.S_RIDX]
+        tex_val = _eval_texture_packed(hit.sattr, hit.u, hit.v, hit.p, scene)
+    else:
+        mats = scene.materials
+        mtype = mats.mtype[hit.mat]
+        fuzz_all = mats.fuzz[hit.mat]
+        ref_idx_all = mats.ref_idx[hit.mat]
+        tex_val = textures.eval_texture(mats.tex[hit.mat], hit.u, hit.v,
+                                        hit.p, scene)
 
     k_mix, k_fuzz, k_diel, k_iso = jax.random.split(key, 4)
 
@@ -63,12 +109,12 @@ def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
 
     # --- metal (material.h:124-140) ---
     reflected_unit = linalg.reflect(linalg.normalize(d_in), hit.normal)
-    fuzz = mats.fuzz[hit.mat]
-    metal_dir = reflected_unit + fuzz[:, None] * sampling.random_in_unit_sphere(
-        k_fuzz, (N,))
+    metal_dir = (reflected_unit
+                 + fuzz_all[:, None] * sampling.random_in_unit_sphere(
+                     k_fuzz, (N,)))
 
     # --- dielectric (material.h:142-225) ---
-    ref_idx = mats.ref_idx[hit.mat]
+    ref_idx = ref_idx_all
     d_dot_n = linalg.dot(d_in, hit.normal)
     d_len = linalg.length(d_in)
     inside = d_dot_n > 0

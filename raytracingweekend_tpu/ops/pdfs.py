@@ -53,35 +53,27 @@ def _rect_light_pdf(o, v, scene: st.Scene):
     L = lights.kind.shape[0]
     ri = jnp.where(lights.kind == st.LIGHT_RECT, lights.index, 0)  # (L,)
 
-    # Move probe ray into each light rect's object space.
+    # Move probe ray into each light rect's object space (component-wise —
+    # no (N, L, 3) stacks, no gathers; see geometry._select_axis).
+    from .geometry import _select_axis
+
     off = r.offset[ri]            # (L, 3)
-    c, s = r.cos_t[ri], r.sin_t[ri]
-    osh = o[:, None, :] - off[None]                        # (N, L, 3)
-    ox = c[None] * osh[..., 0] - s[None] * osh[..., 2]
-    oz = s[None] * osh[..., 0] + c[None] * osh[..., 2]
-    dx = c[None] * v[:, None, 0] - s[None] * v[:, None, 2]
-    dz = s[None] * v[:, None, 0] + c[None] * v[:, None, 2]
-    o_obj = jnp.stack([ox, osh[..., 1], oz], axis=-1)
-    d_obj = jnp.stack([dx, jnp.broadcast_to(v[:, None, 1], dx.shape), dz],
-                      axis=-1)
+    c, s = r.cos_t[ri][None], r.sin_t[ri][None]
+    shx = o[:, 0:1] - off[None, :, 0]                      # (N, L)
+    shy = o[:, 1:2] - off[None, :, 1]
+    shz = o[:, 2:3] - off[None, :, 2]
+    ox = c * shx - s * shz
+    oz = s * shx + c * shz
+    dx = c * v[:, 0:1] - s * v[:, 2:3]
+    dy = v[:, 1:2] * jnp.ones_like(dx)
+    dz = s * v[:, 0:1] + c * v[:, 2:3]
 
-    axis = r.axis[ri]
-    ia = jnp.where(axis == st.RECT_YZ, 1, 0)
-    ib = jnp.where(axis == st.RECT_XY, 1, 2)
-    inrm = jnp.where(axis == st.RECT_XY, 2,
-                     jnp.where(axis == st.RECT_XZ, 1, 0))
-    ia = jnp.broadcast_to(ia[None], (o.shape[0], L))
-    ib = jnp.broadcast_to(ib[None], ia.shape)
-    inrm = jnp.broadcast_to(inrm[None], ia.shape)
-
-    def pick(arr, idx):
-        return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
-
-    o_n = pick(o_obj, inrm)
-    d_n = pick(d_obj, inrm)
+    axis = r.axis[ri][None]                                # (1, L)
+    o_a, o_b, o_n = _select_axis(axis, ox, shy, oz)
+    d_a, d_b, d_n = _select_axis(axis, dx, dy, dz)
     t = (r.k[ri][None] - o_n) / d_n
-    pa = pick(o_obj, ia) + t * pick(d_obj, ia)
-    pb = pick(o_obj, ib) + t * pick(d_obj, ib)
+    pa = o_a + t * d_a
+    pb = o_b + t * d_b
     hit = ((t > _EPS_T)
            & (pa >= r.a0[ri][None]) & (pa <= r.a1[ri][None])
            & (pb >= r.b0[ri][None]) & (pb <= r.b1[ri][None]))
@@ -129,8 +121,14 @@ def lights_pdf_value(o, v, scene: st.Scene):
     lights = scene.lights
     if lights.num == 0:
         return jnp.zeros(o.shape[:-1], o.dtype)
-    rect_pdf = _rect_light_pdf(o, v, scene)
-    sph_pdf = _sphere_light_pdf(o, v, scene)
+    L = lights.kind.shape[0]
+    N = o.shape[0]
+    # Rect/sphere tables can be empty (0 rows); a kind with no table rows
+    # cannot appear in the lights list, so those branches compile away.
+    rect_pdf = (_rect_light_pdf(o, v, scene) if scene.rects.count()
+                else jnp.zeros((N, L), o.dtype))
+    sph_pdf = (_sphere_light_pdf(o, v, scene) if scene.spheres.count()
+               else jnp.zeros((N, L), o.dtype))
     per_light = jnp.where((lights.kind == st.LIGHT_RECT)[None], rect_pdf,
                           sph_pdf)
     live = jnp.arange(lights.kind.shape[0]) < lights.num
@@ -150,35 +148,41 @@ def lights_sample(key, o, scene: st.Scene):
     idx = lights.index[pick]
 
     # Rect sample: uniform point on the rect, mapped through its transform.
-    r = scene.rects
-    ri = jnp.where(kind == st.LIGHT_RECT, idx, 0)
-    ka, kb = jax.random.split(k_rect)
-    ua = sampling.uniform(ka, (N,))
-    ub = sampling.uniform(kb, (N,))
-    pa = r.a0[ri] + ua * (r.a1[ri] - r.a0[ri])
-    pb = r.b0[ri] + ub * (r.b1[ri] - r.b0[ri])
-    kk = r.k[ri]
-    axis = r.axis[ri]
-    # object-space point by axis code
-    px = jnp.where(axis == st.RECT_YZ, kk, pa)
-    py = jnp.where(axis == st.RECT_XY, pb, jnp.where(axis == st.RECT_XZ, kk,
-                                                     pa))
-    pz = jnp.where(axis == st.RECT_XY, kk, pb)
-    # rotate object->world (inverse of the ray transform) and translate
-    c, s = r.cos_t[ri], r.sin_t[ri]
-    wx = c * px + s * pz
-    wz = -s * px + c * pz
-    point = jnp.stack([wx, py, wz], axis=-1) + r.offset[ri]
-    rect_dir = point - o
+    if scene.rects.count():
+        r = scene.rects
+        ri = jnp.where(kind == st.LIGHT_RECT, idx, 0)
+        ka, kb = jax.random.split(k_rect)
+        ua = sampling.uniform(ka, (N,))
+        ub = sampling.uniform(kb, (N,))
+        pa = r.a0[ri] + ua * (r.a1[ri] - r.a0[ri])
+        pb = r.b0[ri] + ub * (r.b1[ri] - r.b0[ri])
+        kk = r.k[ri]
+        axis = r.axis[ri]
+        # object-space point by axis code
+        px = jnp.where(axis == st.RECT_YZ, kk, pa)
+        py = jnp.where(axis == st.RECT_XY, pb,
+                       jnp.where(axis == st.RECT_XZ, kk, pa))
+        pz = jnp.where(axis == st.RECT_XY, kk, pb)
+        # rotate object->world (inverse of the ray transform) and translate
+        c, s = r.cos_t[ri], r.sin_t[ri]
+        wx = c * px + s * pz
+        wz = -s * px + c * pz
+        point = jnp.stack([wx, py, wz], axis=-1) + r.offset[ri]
+        rect_dir = point - o
+    else:
+        rect_dir = jnp.zeros_like(o)
 
     # Sphere sample: cone toward the sphere (sphere.h:101-108).
-    sph = scene.spheres
-    si = jnp.where(kind == st.LIGHT_SPHERE, idx, 0)
-    to_c = sph.center0[si] - o
-    dist2 = linalg.length_squared(to_c)
-    u, v, w = linalg.onb_from_w(to_c)
-    local = sampling.random_to_sphere(k_sph, sph.radius[si], dist2)
-    sph_dir = linalg.onb_local(u, v, w, local)
+    if scene.spheres.count():
+        sph = scene.spheres
+        si = jnp.where(kind == st.LIGHT_SPHERE, idx, 0)
+        to_c = sph.center0[si] - o
+        dist2 = linalg.length_squared(to_c)
+        u, v, w = linalg.onb_from_w(to_c)
+        local = sampling.random_to_sphere(k_sph, sph.radius[si], dist2)
+        sph_dir = linalg.onb_local(u, v, w, local)
+    else:
+        sph_dir = jnp.zeros_like(o)
 
     return jnp.where((kind == st.LIGHT_RECT)[:, None], rect_dir, sph_dir)
 

@@ -4,8 +4,11 @@ Replaces the reference's main() render loop (reference:
 RayTracingWeekend.cpp:195-289): the triple-nested PPL parallel_for over
 rows x cols x samples becomes one jitted wavefront launch per sample chunk —
 every (pixel, sample) is a ray in a flat batch, jittered exactly like
-cpp:227-228, traced, and box-filter accumulated (cpp:235-241). Gamma-2 and
-PPM/PNG writing live in utils.image.
+cpp:227-228, traced, and box-filter accumulated (cpp:235-241). Accumulation
+runs in the native C++ framebuffer (native/rtw_native.cpp) when built, with
+checkpoint/resume the reference lacks (its canvas lives in RAM until the
+final PPM dump, cpp:210,247); gamma-2 and PPM/PNG writing live in
+utils.image / the native codecs.
 
 Usage:
     python -m raytracingweekend_tpu.render --scene cornell_box --nx 400 \
@@ -15,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import time
+from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
@@ -25,9 +29,10 @@ from .models import scene_types as st
 from .models.scenes import make_scene, SCENES
 from .ops import camera as camera_mod
 from .ops import sampling
-from .ops.integrator import trace
+from .ops.integrator import trace, trace_with_stats
 from .utils.config import RenderConfig
 from .utils import image as image_mod
+from . import native
 
 
 @partial(jax.jit, static_argnames=("nx", "ny", "chunk_spp", "max_depth",
@@ -53,30 +58,127 @@ def render_chunk(scene: st.Scene, key, nx: int, ny: int, chunk_spp: int,
     return rad.reshape(chunk_spp, ny, nx, 3).sum(axis=0)
 
 
-def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False):
+@partial(jax.jit, static_argnames=("nx", "ny", "chunk_spp", "max_depth"))
+def render_chunk_with_stats(scene: st.Scene, key, nx: int, ny: int,
+                            chunk_spp: int, max_depth: int = 100):
+    """render_chunk + the number of path segments traced (the rays/s
+    numerator)."""
+    n_pix = nx * ny
+    n_rays = n_pix * chunk_spp
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    i = jnp.tile(pix % nx, chunk_spp)
+    j = jnp.tile(pix // nx, chunk_spp)
+    k_u, k_v, k_cam, k_trace = jax.random.split(key, 4)
+    u = (i.astype(jnp.float32) + sampling.uniform(k_u, (n_rays,))) / nx
+    v = (j.astype(jnp.float32) + sampling.uniform(k_v, (n_rays,))) / ny
+    o, d, t = camera_mod.get_rays(k_cam, scene.camera, u, v)
+    rad, segs = trace_with_stats(k_trace, o, d, t, scene, max_depth=max_depth)
+    return rad.reshape(chunk_spp, ny, nx, 3).sum(axis=0), segs
+
+
+@dataclass
+class RenderStats:
+    """Per-render observability (SURVEY.md §5 metrics rebuild)."""
+    spp_done: int = 0
+    segments: float = 0.0
+    trace_seconds: float = 0.0
+
+    @property
+    def rays_per_s(self) -> float:
+        return self.segments / self.trace_seconds if self.trace_seconds else 0.0
+
+
+def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
+           stats: RenderStats | None = None):
     """Render to a linear-radiance canvas (ny, nx, 3) float32, averaged over
     cfg.spp samples. Accumulation is chunked over samples so HBM stays
-    bounded; the RNG is folded per chunk so results are seed-deterministic
-    and checkpoint/resume-safe."""
+    bounded; the RNG is folded per launch so results are seed-deterministic
+    and checkpoint/resume-safe.
+
+    With cfg.checkpoint set, accumulation state (radiance sums + spp count)
+    persists in the native framebuffer checkpoint; re-running the same config
+    resumes exactly where it left off (identical final pixels, because each
+    launch's RNG key depends only on the launch index).
+    """
     key = jax.random.key(cfg.seed)
     chunk = min(cfg.samples_per_launch, cfg.spp)
-    acc = np.zeros((cfg.ny, cfg.nx, 3), np.float32)
+    want_stats = stats is not None
+    collect = stats if want_stats else RenderStats()
+
+    fb = None
+    acc = None
     done = 0
-    launch = 0
+    if cfg.checkpoint and native.available():
+        import os
+        if os.path.exists(cfg.checkpoint):
+            fb = native.Framebuffer.load(cfg.checkpoint)
+            assert (fb.w, fb.h) == (cfg.nx, cfg.ny), (
+                f"checkpoint is {fb.w}x{fb.h}, config wants "
+                f"{cfg.nx}x{cfg.ny}")
+            done = fb.spp
+        else:
+            fb = native.Framebuffer(cfg.nx, cfg.ny)
+    elif native.available():
+        fb = native.Framebuffer(cfg.nx, cfg.ny)
+    else:
+        acc = np.zeros((cfg.ny, cfg.nx, 3), np.float32)
+
+    assert done % chunk == 0 or done >= cfg.spp, (
+        "checkpoint spp not aligned with samples_per_launch")
+    launch = done // chunk
     while done < cfg.spp:
         this = min(chunk, cfg.spp - done)
-        part = render_chunk(scene, jax.random.fold_in(key, launch),
-                            cfg.nx, cfg.ny, this, cfg.max_depth,
-                            cfg.loop_mode)
-        acc += np.asarray(part)
+        t0 = time.perf_counter()
+        if want_stats:
+            part, segs = render_chunk_with_stats(
+                scene, jax.random.fold_in(key, launch), cfg.nx, cfg.ny, this,
+                cfg.max_depth)
+            part = np.asarray(part)
+            collect.segments += float(segs)
+        else:
+            part = np.asarray(render_chunk(
+                scene, jax.random.fold_in(key, launch), cfg.nx, cfg.ny, this,
+                cfg.max_depth, cfg.loop_mode))
+        collect.trace_seconds += time.perf_counter() - t0
+        if fb is not None:
+            fb.add(part, this)
+        else:
+            acc += part
         done += this
         launch += 1
+        collect.spp_done = done
+        if cfg.checkpoint and fb is not None:
+            fb.save(cfg.checkpoint)
         if progress:
-            print(f"  spp {done}/{cfg.spp}", flush=True)
+            rate = (f", {collect.rays_per_s / 1e6:.1f} M rays/s"
+                    if want_stats else "")
+            print(f"  spp {done}/{cfg.spp}{rate}", flush=True)
+
+    if fb is not None:
+        total = fb.spp
+        out = fb.accumulator() / max(total, 1)
+        fb.close()
+        return out
     return acc / cfg.spp
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache — first compiles of big scenes take
+    minutes on remote-tunnel backends; repeats should start hot."""
+    import os
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+            __file__))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scene", default="cornell_box", choices=sorted(SCENES))
     p.add_argument("--nx", type=int, default=400)
@@ -86,19 +188,25 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--samples-per-launch", type=int, default=8)
     p.add_argument("--out", default="out.png")
+    p.add_argument("--checkpoint", default=None,
+                   help="framebuffer checkpoint path; rerun to resume")
+    p.add_argument("--stats", action="store_true",
+                   help="report rays/s per launch")
     p.add_argument("--normals", action="store_true",
                    help="RenderType::Normal debug shading (cpp:135-136)")
     args = p.parse_args(argv)
 
     cfg = RenderConfig(nx=args.nx, ny=args.ny, spp=args.spp,
                        max_depth=args.max_depth, seed=args.seed,
-                       samples_per_launch=args.samples_per_launch)
+                       samples_per_launch=args.samples_per_launch,
+                       checkpoint=args.checkpoint)
     scene = make_scene(args.scene, cfg.aspect)
     if args.normals:
         scene = scene.replace(render_type=st.RENDER_NORMAL)
 
+    stats = RenderStats() if args.stats else None
     t0 = time.perf_counter()
-    canvas = render(scene, cfg, progress=True)
+    canvas = render(scene, cfg, progress=True, stats=stats)
     trace_ms = (time.perf_counter() - t0) * 1000.0
 
     t0 = time.perf_counter()
@@ -112,6 +220,9 @@ def main(argv=None):
     # Same self-report as cpp:279-280.
     print(f"Trace: {trace_ms:.0f}ms")
     print(f"Write: {write_ms:.0f}ms")
+    if stats is not None:
+        print(f"Rays/s: {stats.rays_per_s:.3e} "
+              f"({stats.segments:.3e} segments)")
     print(f"wrote {args.out}")
 
 

@@ -19,6 +19,9 @@ class RenderConfig:
     # "while" = early-exit loop (fast forward path); "scan" = fixed-depth,
     # reverse-differentiable.
     loop_mode: str = "while"
+    # Framebuffer checkpoint path (native runtime); rerunning the same config
+    # resumes accumulation exactly. None disables checkpointing.
+    checkpoint: str | None = None
 
     @property
     def aspect(self) -> float:

@@ -1,10 +1,11 @@
 """Image I/O: gamma postprocess, PPM read/write, PNG read/write.
 
 Replaces the reference's redirected-cout PPM dump + ImageMagick shell-out
-(reference: RayTracingWeekend.cpp:252-286) with dependency-free pure-Python
-codecs (PNG via zlib), and supplies the image *decoder* the reference ships
-earth.jpg for but never implements (texture.h:73-98 is dead code there —
-SURVEY.md §2.1 #14).
+(reference: RayTracingWeekend.cpp:252-286). Codecs dispatch to the native
+C++ runtime (native/rtw_native.cpp via libpng/libjpeg — including the image
+*decoder* the reference ships earth.jpg for but never implements,
+texture.h:73-98) with dependency-free pure-Python fallbacks (PNG via zlib)
+when the shared library hasn't been built.
 """
 from __future__ import annotations
 
@@ -12,6 +13,8 @@ import struct as _struct
 import zlib
 
 import numpy as np
+
+from .. import native as _native
 
 __all__ = ["postprocess", "write_ppm", "read_ppm", "write_png", "read_png",
            "load_image"]
@@ -80,6 +83,9 @@ def write_png(canvas01: np.ndarray, path: str) -> None:
     """8-bit RGB PNG. Same canvas convention as write_ppm (row 0 = bottom)."""
     ny, nx, _ = canvas01.shape
     q = _quantize(canvas01)[::-1]  # PNG rows are top-down
+    if _native.available():
+        _native.write_png(path, q)
+        return
     raw = b"".join(b"\x00" + q[j].tobytes() for j in range(ny))
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
@@ -129,8 +135,12 @@ def _unfilter(raw: np.ndarray, ny: int, nx: int, nch: int) -> np.ndarray:
 
 
 def read_png(path: str) -> np.ndarray:
-    """Minimal PNG reader: 8-bit RGB/RGBA/grayscale, non-interlaced.
-    Returns float (ny, nx, 3) in [0,1], row 0 at image bottom."""
+    """PNG reader (native libpng when built; else a minimal 8-bit
+    non-interlaced pure-Python decoder). Returns float (ny, nx, 3) in [0,1],
+    row 0 at image bottom."""
+    if _native.available():
+        pix = _native.read_png(path)
+        return (pix.astype(np.float64) / 255.0)[::-1].copy()
     with open(path, "rb") as f:
         data = f.read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
@@ -164,18 +174,18 @@ def read_png(path: str) -> np.ndarray:
 
 
 def load_image(path: str) -> np.ndarray:
-    """Load PNG or PPM (and JPEG if PIL happens to be available) as float
-    (ny, nx, 3), row 0 at image bottom — feed to SceneBuilder.image()."""
+    """Load PNG, PPM, or JPEG (native libjpeg) as float (ny, nx, 3), row 0 at
+    image bottom — feed to SceneBuilder.image()."""
     low = path.lower()
     if low.endswith(".png"):
         return read_png(path)
     if low.endswith((".ppm",)):
         return read_ppm(path)
-    try:  # optional JPEG support, gated on PIL availability
-        from PIL import Image  # type: ignore
-        im = np.asarray(Image.open(path).convert("RGB"), dtype=np.float64)
-        return (im / 255.0)[::-1].copy()
-    except ImportError as e:
+    if low.endswith((".jpg", ".jpeg")):
+        if _native.available():
+            pix = _native.read_jpeg(path)
+            return (pix.astype(np.float64) / 255.0)[::-1].copy()
         raise ValueError(
-            f"unsupported image format for {path!r} (PNG/PPM supported; "
-            "JPEG needs PIL)") from e
+            f"JPEG decoding needs the native runtime: make -C native "
+            f"(for {path!r})")
+    raise ValueError(f"unsupported image format for {path!r}")

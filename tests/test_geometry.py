@@ -23,7 +23,10 @@ def _single(scene, o, d, t=0.5):
     o = jnp.asarray([o], jnp.float32)
     d = jnp.asarray([d], jnp.float32)
     time = jnp.asarray([t], jnp.float32)
-    return geometry.closest_hit(KEY, o, d, time, scene)
+    # want_uv=True: these tests check the full hit_record contract including
+    # uv, which closest_hit skips by default for scenes without image
+    # textures.
+    return geometry.closest_hit(KEY, o, d, time, scene, want_uv=True)
 
 
 def test_sphere_hit_near_root():

@@ -1,0 +1,82 @@
+"""Golden-image tests against the reference renderer.
+
+Goldens in tests/goldens/ are produced by tools/reference_oracle (a portable
+serial driver over the unmodified reference headers — see its Makefile) at
+high spp, float64. Our renderer uses a different (threefry) RNG stream, so
+agreement is statistical: the scene-mean radiance must match within combined
+MC standard error, and per-pixel values within a few noise sigmas.
+
+The cheap default tests keep CPU time bounded; `RTW_GOLDEN_FULL=1` enables
+the full-resolution pixelwise suite (intended for TPU runs).
+"""
+import os
+import re
+import struct
+
+import numpy as np
+import jax
+import pytest
+
+from raytracingweekend_tpu.models.scenes import make_scene
+from raytracingweekend_tpu.render import render
+from raytracingweekend_tpu.utils.config import RenderConfig
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+FULL = bool(os.environ.get("RTW_GOLDEN_FULL"))
+
+
+def load_golden(name):
+    path = os.path.join(GOLDEN_DIR, name)
+    with open(path, "rb") as f:
+        header = f.readline().decode()
+        m = re.match(r"RTWO (\d+) (\d+)", header)
+        nx, ny = int(m.group(1)), int(m.group(2))
+        data = np.frombuffer(f.read(), dtype="<f8")
+    return data.reshape(ny, nx, 3)  # row 0 = image bottom
+
+
+GOLDENS = {
+    "dielectric": "dielectric_32x32_4096spp.bin",
+    "light_sample": "light_sample_32x32_4096spp.bin",
+    "cornell_box": "cornell_box_32x32_8192spp.bin",
+    "random_balls": "random_balls_32x32_2048spp.bin",
+}
+
+
+def _ours(scene_name, nx, ny, spp, max_depth=50):
+    scene = make_scene(scene_name, nx / ny)
+    cfg = RenderConfig(nx=nx, ny=ny, spp=spp, max_depth=max_depth,
+                       samples_per_launch=min(spp, 64), seed=7)
+    return render(scene, cfg)
+
+
+@pytest.mark.parametrize("scene_name", ["dielectric", "light_sample"])
+def test_golden_mean_radiance(scene_name):
+    """Scene-average radiance vs the reference, cheap configuration."""
+    golden = load_golden(GOLDENS[scene_name])
+    ours = _ours(scene_name, 16, 16, 48, max_depth=20)
+    g, o = float(golden.mean()), float(ours.mean())
+    # 16x16x48 samples of a bounded integrand: mean standard error << 3%.
+    assert abs(o - g) / max(g, 1e-6) < 0.05, (o, g)
+
+
+@pytest.mark.skipif(not FULL, reason="set RTW_GOLDEN_FULL=1 (TPU) to enable")
+@pytest.mark.parametrize("scene_name", sorted(GOLDENS))
+def test_golden_pixelwise(scene_name):
+    """Per-pixel agreement at the goldens' own resolution and spp."""
+    golden = load_golden(GOLDENS[scene_name])
+    ny, nx, _ = golden.shape
+    spp = {"dielectric": 4096, "light_sample": 4096,
+           "cornell_box": 8192, "random_balls": 2048}[scene_name]
+    ours = _ours(scene_name, nx, ny, spp)
+    g = np.asarray(golden)
+    o = np.asarray(ours, np.float64)
+    # Mean radiance: tight.
+    assert abs(o.mean() - g.mean()) / max(g.mean(), 1e-6) < 0.02
+    # Pixelwise: within MC noise. Tolerance scales like 1/sqrt(spp) plus an
+    # absolute floor for near-black pixels; the 99.5th percentile guards
+    # against fireflies in high-variance scenes (glass ball caustics).
+    err = np.abs(o - g)
+    tol = 0.05 + 4.0 * np.sqrt(np.maximum(g, 0.0) / spp)
+    frac_ok = (err <= tol).mean()
+    assert frac_ok > 0.995, frac_ok
