@@ -212,3 +212,46 @@ def checker_spheres(aspect: float) -> st.Scene:
     b.camera((13, 2, 3), (0, 0, 0), (0, 1, 0), 20.0, aspect, 0.0, 10.0,
              0.0, 1.0)
     return b.build(background=st.BG_GRADIENT, name="checker_spheres")
+
+
+@register("earth")
+def earth_scene(aspect: float, image_path: str | None = None) -> st.Scene:
+    """Book-2 image-texture globe. The reference ships earth.jpg but its
+    image_texture is dead code (no decoder exists in its tree, texture.h:73-98
+    — SURVEY.md §2.1 #14); here the native libjpeg decoder completes the
+    feature. Falls back to a procedural blue-green texture when no image is
+    available so the scene always renders."""
+    import os
+
+    import numpy as np
+
+    from ..utils import image as image_mod
+
+    b = SceneBuilder()
+    candidates = [image_path] if image_path else []
+    candidates += [
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "assets",
+            "earth.jpg"),
+        "/root/reference/RayTracingWeekend/earth.jpg",
+    ]
+    pixels = None
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            try:
+                pixels = image_mod.load_image(cand)
+                break
+            except ValueError:
+                continue
+    if pixels is None:  # procedural stand-in: latitude bands
+        v = np.linspace(0.0, 1.0, 256)[:, None]
+        u = np.linspace(0.0, 1.0, 512)[None, :]
+        land = (np.sin(u * 21.0) * np.sin(v * 13.0)) > 0.3
+        pixels = np.where(land[..., None],
+                          np.array([0.2, 0.5, 0.2]),
+                          np.array([0.1, 0.2, 0.6]))
+    tex = b.image(pixels)
+    b.sphere((0, 0, 0), 2.0, b.lambertian(tex))
+    b.camera((13, 2, 3), (0, 0, 0), (0, 1, 0), 20.0, aspect, 0.0, 10.0,
+             0.0, 1.0)
+    return b.build(background=st.BG_GRADIENT, name="earth")

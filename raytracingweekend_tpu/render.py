@@ -29,7 +29,7 @@ from .models import scene_types as st
 from .models.scenes import make_scene, SCENES
 from .ops import camera as camera_mod
 from .ops import sampling
-from .ops.integrator import trace, trace_with_stats
+from .ops.integrator import trace, trace_regenerative, trace_with_stats
 from .utils.config import RenderConfig
 from .utils import image as image_mod
 from . import native
@@ -74,6 +74,18 @@ def render_chunk_with_stats(scene: st.Scene, key, nx: int, ny: int,
     o, d, t = camera_mod.get_rays(k_cam, scene.camera, u, v)
     rad, segs = trace_with_stats(k_trace, o, d, t, scene, max_depth=max_depth)
     return rad.reshape(chunk_spp, ny, nx, 3).sum(axis=0), segs
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "chunk_spp", "max_depth",
+                                   "n_slots"))
+def render_chunk_regen(scene: st.Scene, key, nx: int, ny: int,
+                       chunk_spp: int, max_depth: int = 100,
+                       n_slots: int = 1 << 19):
+    """Radiance *sum* over chunk_spp samples/pixel via the path-regenerative
+    wavefront (see integrator.trace_regenerative) — the fast forward path.
+    Returns ((ny, nx, 3) sums, segment count)."""
+    return trace_regenerative(key, scene, nx, ny, chunk_spp,
+                              max_depth=max_depth, n_slots=n_slots)
 
 
 @dataclass
@@ -129,7 +141,13 @@ def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
     while done < cfg.spp:
         this = min(chunk, cfg.spp - done)
         t0 = time.perf_counter()
-        if want_stats:
+        if cfg.loop_mode == "regen":
+            part, segs = render_chunk_regen(
+                scene, jax.random.fold_in(key, launch), cfg.nx, cfg.ny, this,
+                cfg.max_depth)
+            part = np.asarray(part)
+            collect.segments += float(segs)
+        elif want_stats:
             part, segs = render_chunk_with_stats(
                 scene, jax.random.fold_in(key, launch), cfg.nx, cfg.ny, this,
                 cfg.max_depth)
@@ -194,6 +212,9 @@ def main(argv=None):
                    help="report rays/s per launch")
     p.add_argument("--normals", action="store_true",
                    help="RenderType::Normal debug shading (cpp:135-136)")
+    p.add_argument("--debug-ray", action="store_true",
+                   help="DEBUG_RAY analogue (cpp:38-43): trace one "
+                        "center-pixel ray at depth 1 and print its radiance")
     args = p.parse_args(argv)
 
     cfg = RenderConfig(nx=args.nx, ny=args.ny, spp=args.spp,
@@ -203,6 +224,17 @@ def main(argv=None):
     scene = make_scene(args.scene, cfg.aspect)
     if args.normals:
         scene = scene.replace(render_type=st.RENDER_NORMAL)
+
+    if args.debug_ray:
+        key = jax.random.key(cfg.seed)
+        u = jnp.asarray([0.5], jnp.float32)
+        v = jnp.asarray([0.5], jnp.float32)
+        k_cam, k_tr = jax.random.split(key)
+        o, d, t = camera_mod.get_rays(k_cam, scene.camera, u, v)
+        rad = trace(k_tr, o, d, t, scene, max_depth=1)
+        print(f"debug ray: origin={np.asarray(o[0])} dir={np.asarray(d[0])} "
+              f"radiance={np.asarray(rad[0])}")
+        return
 
     stats = RenderStats() if args.stats else None
     t0 = time.perf_counter()

@@ -16,9 +16,10 @@ class RenderConfig:
     # Wavefront sizing: samples traced per device launch. Memory per launch
     # scales as nx*ny*samples_per_launch; lower it for huge frames.
     samples_per_launch: int = 8
-    # "while" = early-exit loop (fast forward path); "scan" = fixed-depth,
+    # "regen" = path-regenerative wavefront (fast forward default);
+    # "while" = lockstep early-exit loop; "scan" = fixed-depth,
     # reverse-differentiable.
-    loop_mode: str = "while"
+    loop_mode: str = "regen"
     # Framebuffer checkpoint path (native runtime); rerunning the same config
     # resumes accumulation exactly. None disables checkpointing.
     checkpoint: str | None = None

@@ -186,3 +186,29 @@ def test_full_render_small_cornell():
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all()
     assert img.max() > 0.05  # light visible
+
+
+def test_regenerative_matches_lockstep_statistically():
+    """The path-regenerative wavefront (trace_regenerative) and the lockstep
+    loop integrate the same estimator; their converged images must agree."""
+    from raytracingweekend_tpu.ops.integrator import trace_regenerative
+
+    scene = make_scene("dielectric", 1.0)
+    nx = ny = 12
+    spp = 256
+    key = jax.random.key(11)
+    img_regen, segs = jax.jit(
+        lambda k: trace_regenerative(k, scene, nx, ny, spp, max_depth=16,
+                                     n_slots=4096))(key)
+    img_regen = np.asarray(img_regen) / spp
+    assert float(segs) > nx * ny * spp  # at least one segment per ray
+
+    cfg = RenderConfig(nx=nx, ny=ny, spp=spp, max_depth=16,
+                       samples_per_launch=64, seed=12, loop_mode="while")
+    img_lock = render(scene, cfg)
+    # scene-mean agreement within MC error
+    assert abs(img_regen.mean() - img_lock.mean()) / img_lock.mean() < 0.03
+    # pixelwise within a few noise sigmas
+    err = np.abs(img_regen - img_lock)
+    tol = 0.05 + 4.0 * np.sqrt(np.maximum(img_lock, 0.0) / spp)
+    assert (err <= tol).mean() > 0.99

@@ -104,3 +104,20 @@ def test_sphere_table_padding_and_masks():
     assert S % 256 == 0 or S <= 256
     act = np.asarray(s.spheres.active)
     assert not act[int(act.sum()):].any()
+
+
+def test_earth_scene_image_texture():
+    """The earth scene must decode the reference's earth.jpg through the
+    native runtime (or fall back procedurally) and shade the globe with it."""
+    import jax
+    from raytracingweekend_tpu.render import render
+    from raytracingweekend_tpu.utils.config import RenderConfig
+
+    scene = make_scene("earth", 1.0)
+    assert scene.has_image_tex
+    assert scene.textures.images is not None
+    img = render(scene, RenderConfig(nx=12, ny=12, spp=4, max_depth=3,
+                                     samples_per_launch=4))
+    assert np.isfinite(img).all()
+    # globe pixels must show texture variation, not a constant color
+    assert img.std() > 0.01
