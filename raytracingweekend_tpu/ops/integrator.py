@@ -212,6 +212,140 @@ def trace_regenerative(key, scene: st.Scene, nx: int, ny: int, spp: int,
     return image[:n_pix].reshape(ny, nx, 3), segments
 
 
+def _block_linear_order(nx: int, ny: int, block: int = 32):
+    """Pixel permutation: raster order over (block x block) tiles, raster
+    within each tile. Consecutive indices cover compact 2D regions, so a
+    tile of slots sees spatially-coherent content (similar path lengths) —
+    the property the per-pixel-slot integrator's utilization depends on.
+    Returns (order (n_pix,), inverse (n_pix,)) as numpy int32."""
+    import numpy as np
+    ys, xs = np.mgrid[0:ny, 0:nx]
+    keys = (((ys // block) * ((nx + block - 1) // block) + (xs // block))
+            * (block * block)
+            + (ys % block) * block + (xs % block))
+    order = np.argsort(keys.reshape(-1), kind="stable").astype(np.int32)
+    inverse = np.empty_like(order)
+    inverse[order] = np.arange(order.size, dtype=np.int32)
+    return order, inverse
+
+
+def trace_tiled(key, scene: st.Scene, nx: int, ny: int, spp: int,
+                max_depth: int = 100, n_slots: int = 1 << 19,
+                spp_per_slot: int | None = None):
+    """Tiled per-pixel-slot wavefront integrator — the scatter-free fast path.
+
+    Random-index scatter-add costs ~60 ms per iteration at wavefront widths
+    on TPU (it serializes), which made deposits half of trace_regenerative's
+    runtime. Here every slot is bound to ONE pixel for a whole launch:
+    a tile of T = n_slots / k pixels runs k sample-parallel slots per pixel,
+    each slot serially retracing its pixel for `spp_per_slot` samples. All
+    accumulation is dense:
+
+        slot_accum[slot]  += rad        (identity indices — elementwise)
+        tile_image         = reshape(k, T, 3).sum(0)
+        image              = dynamic_update_slice(image, tile_image, ...)
+
+    Spatial coherence keeps utilization high: a tile's pixels see similar
+    content, so their total work (spp_per_slot samples each, variance
+    averaged out) is similar, and the per-tile while_loop exits early on
+    cheap tiles. Tiles advance in an on-device scan — one compile, one
+    launch per frame.
+
+    Returns (radiance sum image (ny, nx, 3), segment count ()).
+    """
+    from . import camera as camera_mod
+
+    import numpy as np
+
+    n_pix = nx * ny
+    if spp_per_slot is None:
+        # target >= 8 samples per slot so path-length variance averages out
+        spp_per_slot = max(min(spp, 8), spp // max(n_slots // n_pix, 1))
+    while spp % spp_per_slot:
+        spp_per_slot -= 1
+    k = spp // spp_per_slot                 # sample-parallel slots per pixel
+    T = max(n_slots // k, 256)              # pixels per tile
+    slots = T * k
+    n_tiles = -(-n_pix // T)
+    n_pad = n_tiles * T
+    # Block-linear pixel order: each tile covers compact 2D regions.
+    order_np, _inv = _block_linear_order(nx, ny)
+    order = jnp.asarray(
+        np.pad(order_np, (0, n_pad - n_pix), constant_values=n_pix))
+
+    def fresh_rays(kk, pix, sample_i, live):
+        i = (pix % nx).astype(jnp.float32)
+        j = (pix // nx).astype(jnp.float32)
+        k_u, k_v, k_cam = jax.random.split(kk, 3)
+        u = (i + sampling.uniform(k_u, pix.shape)) / nx
+        v = (j + sampling.uniform(k_v, pix.shape)) / ny
+        o, d, t = camera_mod.get_rays(k_cam, scene.camera, u, v)
+        del sample_i, live
+        return o, d, t
+
+    def tile_body(carry, tile_idx):
+        image, segments = carry
+        base = tile_idx * T
+        slot_entry = base + jnp.tile(jnp.arange(T, dtype=jnp.int32), k)
+        pix = order[slot_entry]                                  # (slots,)
+        valid_pix = pix < n_pix
+        pix = jnp.minimum(pix, n_pix - 1)
+        kt = jax.random.fold_in(key, tile_idx)
+
+        o, d, time = fresh_rays(jax.random.fold_in(kt, 0), pix,
+                                jnp.zeros_like(pix), valid_pix)
+        tp = jnp.ones((slots, 3), jnp.float32)
+        rad = jnp.zeros((slots, 3), jnp.float32)
+        accum = jnp.zeros((slots, 3), jnp.float32)
+        depth = jnp.zeros((slots,), jnp.int32)
+        done = jnp.where(valid_pix, 0, spp_per_slot)  # samples completed
+        it0 = jnp.asarray(0, jnp.int32)
+
+        def cond(s):
+            return jnp.any(s[-1] < spp_per_slot)
+
+        def body(s):
+            (it, o, d, time, tp, rad, accum, depth, segs, done_) = s
+            active = done_ < spp_per_slot
+            segs = segs + jnp.sum(active.astype(jnp.float32))
+            kb = jax.random.fold_in(kt, it + 1)
+            o2, d2, tp2, rad2, alive = _bounce(scene, kb, 0, o, d, time, tp,
+                                               rad, active)
+            depth = depth + 1
+            alive = alive & (depth < max_depth)
+            finished = active & ~alive
+            accum = accum + jnp.where(finished[:, None], rad2, 0.0)
+            done_ = done_ + finished.astype(jnp.int32)
+
+            kg = jax.random.fold_in(kb, 1)
+            o_n, d_n, t_n = fresh_rays(kg, pix, done_, finished)
+            o = jnp.where(alive[:, None], o2, o_n)
+            d = jnp.where(alive[:, None], d2, d_n)
+            time = jnp.where(alive, time, t_n)
+            tp = jnp.where(alive[:, None], tp2, 1.0)
+            rad = jnp.where(alive[:, None], rad2, 0.0)
+            depth = jnp.where(alive, depth, 0)
+            return (it + 1, o, d, time, tp, rad, accum, depth, segs, done_)
+
+        s = (it0, o, d, time, tp, rad, accum, depth,
+             jnp.zeros((), jnp.float32), done)
+        s = jax.lax.while_loop(cond, body, s)
+        accum, segs = s[6], s[8]
+        tile_img = accum.reshape(k, T, 3).sum(axis=0)          # dense reduce
+        image = jax.lax.dynamic_update_slice(
+            image, tile_img + jax.lax.dynamic_slice(image, (base, 0), (T, 3)),
+            (base, 0))
+        return (image, segments + segs), None
+
+    image0 = jnp.zeros((n_pad, 3), jnp.float32)
+    (image_blocked, segments), _ = jax.lax.scan(
+        tile_body, (image0, jnp.zeros((), jnp.float32)),
+        jnp.arange(n_tiles, dtype=jnp.int32))
+    # blocked row b holds pixel order[b]; invert with one gather per frame
+    image = image_blocked[jnp.asarray(_inv)]
+    return image.reshape(ny, nx, 3), segments
+
+
 def trace_with_stats(key, o, d, time, scene: st.Scene, max_depth: int = 100):
     """Like trace(mode="while") but also returns the total number of ray
     segments cast (sum over bounces of active rays) — the benchmark metric."""

@@ -29,7 +29,8 @@ from .models import scene_types as st
 from .models.scenes import make_scene, SCENES
 from .ops import camera as camera_mod
 from .ops import sampling
-from .ops.integrator import trace, trace_regenerative, trace_with_stats
+from .ops.integrator import (trace, trace_regenerative, trace_tiled,
+                             trace_with_stats)
 from .utils.config import RenderConfig
 from .utils import image as image_mod
 from . import native
@@ -88,6 +89,17 @@ def render_chunk_regen(scene: st.Scene, key, nx: int, ny: int,
                               max_depth=max_depth, n_slots=n_slots)
 
 
+@partial(jax.jit, static_argnames=("nx", "ny", "chunk_spp", "max_depth",
+                                   "n_slots"))
+def render_chunk_tiled(scene: st.Scene, key, nx: int, ny: int,
+                       chunk_spp: int, max_depth: int = 100,
+                       n_slots: int = 1 << 19):
+    """Radiance sums via the scatter-free per-pixel-slot wavefront
+    (integrator.trace_tiled). Returns ((ny, nx, 3) sums, segment count)."""
+    return trace_tiled(key, scene, nx, ny, chunk_spp, max_depth=max_depth,
+                       n_slots=n_slots)
+
+
 @dataclass
 class RenderStats:
     """Per-render observability (SURVEY.md §5 metrics rebuild)."""
@@ -141,8 +153,10 @@ def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
     while done < cfg.spp:
         this = min(chunk, cfg.spp - done)
         t0 = time.perf_counter()
-        if cfg.loop_mode == "regen":
-            part, segs = render_chunk_regen(
+        if cfg.loop_mode in ("regen", "tiled"):
+            chunk_fn = (render_chunk_regen if cfg.loop_mode == "regen"
+                        else render_chunk_tiled)
+            part, segs = chunk_fn(
                 scene, jax.random.fold_in(key, launch), cfg.nx, cfg.ny, this,
                 cfg.max_depth)
             part = np.asarray(part)
@@ -208,6 +222,11 @@ def main(argv=None):
     p.add_argument("--out", default="out.png")
     p.add_argument("--checkpoint", default=None,
                    help="framebuffer checkpoint path; rerun to resume")
+    p.add_argument("--mode", default="regen",
+                   choices=("regen", "tiled", "while", "scan"),
+                   help="integrator loop: regen = global path regeneration, "
+                        "tiled = scatter-free per-pixel slots, while/scan = "
+                        "lockstep")
     p.add_argument("--stats", action="store_true",
                    help="report rays/s per launch")
     p.add_argument("--normals", action="store_true",
@@ -220,7 +239,7 @@ def main(argv=None):
     cfg = RenderConfig(nx=args.nx, ny=args.ny, spp=args.spp,
                        max_depth=args.max_depth, seed=args.seed,
                        samples_per_launch=args.samples_per_launch,
-                       checkpoint=args.checkpoint)
+                       checkpoint=args.checkpoint, loop_mode=args.mode)
     scene = make_scene(args.scene, cfg.aspect)
     if args.normals:
         scene = scene.replace(render_type=st.RENDER_NORMAL)
