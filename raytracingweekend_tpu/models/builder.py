@@ -240,7 +240,11 @@ class SceneBuilder:
 
     # ---- compile ----
     def build(self, *, background: int = st.BG_GRADIENT,
-              render_type: int = st.RENDER_SHADED, name: str = "") -> st.Scene:
+              render_type: int = st.RENDER_SHADED, name: str = "",
+              use_bvh: bool = False) -> st.Scene:
+        """Compile to a Scene. use_bvh builds a sphere BVH (ops/bvh.py) and
+        stores it on the scene; closest_hit then traverses it instead of the
+        brute-force table scan — the win starts at thousands of spheres."""
         assert self._camera is not None, "call camera(...) before build()"
 
         # Spheres, padded to the intersection block size.
@@ -362,6 +366,11 @@ class SceneBuilder:
             index=jnp.asarray([l[1] for l in lt], jnp.int32),
             num=len(self._lights))
 
+        tree = None
+        if use_bvh:
+            from ..ops.bvh import build_sphere_bvh
+            tree = build_sphere_bvh(spheres)
+
         ttypes = {t.ttype for t in self._textures}
         complex_checker = any(
             t.ttype == st.TEX_CHECKER
@@ -370,7 +379,7 @@ class SceneBuilder:
             for t in self._textures)
         return st.Scene(
             spheres=spheres, rects=rects, media=media, materials=materials,
-            textures=textures, lights=lights, camera=self._camera,
+            textures=textures, lights=lights, camera=self._camera, bvh=tree,
             background=background, render_type=render_type,
             has_moving_spheres=self._has_moving,
             has_rect_transforms=self._has_rect_transforms,

@@ -190,6 +190,12 @@ class Scene:
     textures: Textures
     lights: Lights
     camera: Camera
+    # Optional acceleration structure over the sphere table (ops/bvh.py
+    # SphereBVH pytree; typed Any to avoid a circular import). Built by
+    # SceneBuilder.build(use_bvh=True); closest_hit traverses it instead of
+    # the brute-force table scan when present. Worth it for scenes with
+    # thousands+ of spheres — below that the dense Pallas scan wins.
+    bvh: Optional[Any] = None
     background: int = struct.field(pytree_node=False, default=BG_GRADIENT)
     render_type: int = struct.field(pytree_node=False, default=RENDER_SHADED)
     # Static capability flags for dead-code elimination under jit.

@@ -342,8 +342,13 @@ def closest_hit(key, o, d, time, scene: st.Scene, t_min=T_MIN,
     if want_uv is None:
         want_uv = scene.has_image_tex
     N = o.shape[0]
-    st_t, st_i = hit_spheres(o, d, time, t_min, scene.spheres,
-                             scene.has_moving_spheres)
+    if scene.bvh is not None:
+        from .bvh import hit_spheres_bvh
+        st_t, st_i = hit_spheres_bvh(o, d, time, t_min, scene.spheres,
+                                     scene.bvh, scene.has_moving_spheres)
+    else:
+        st_t, st_i = hit_spheres(o, d, time, t_min, scene.spheres,
+                                 scene.has_moving_spheres)
     rc_t, rc_i = hit_rects(o, d, t_min, scene.rects, scene.has_rect_transforms)
     if scene.has_media:
         md_t, md_i = hit_media(key, o, d, t_min, scene.media)

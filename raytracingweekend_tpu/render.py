@@ -234,6 +234,9 @@ def main(argv=None):
     p.add_argument("--debug-ray", action="store_true",
                    help="DEBUG_RAY analogue (cpp:38-43): trace one "
                         "center-pixel ray at depth 1 and print its radiance")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render into "
+                        "DIR (view with TensorBoard / xprof)")
     args = p.parse_args(argv)
 
     cfg = RenderConfig(nx=args.nx, ny=args.ny, spp=args.spp,
@@ -257,7 +260,11 @@ def main(argv=None):
 
     stats = RenderStats() if args.stats else None
     t0 = time.perf_counter()
-    canvas = render(scene, cfg, progress=True, stats=stats)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            canvas = render(scene, cfg, progress=True, stats=stats)
+    else:
+        canvas = render(scene, cfg, progress=True, stats=stats)
     trace_ms = (time.perf_counter() - t0) * 1000.0
 
     t0 = time.perf_counter()

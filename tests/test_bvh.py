@@ -111,3 +111,33 @@ def test_bvh_structure_invariants():
     assert count.max() <= bvh_mod.LEAF_SIZE
     # total leaf content = active spheres
     assert count.sum() == n_active
+
+
+def test_bvh_scene_integration_renders_same():
+    """build(use_bvh=True) routes closest_hit through the BVH; images must
+    match the brute-force scan bitwise (same RNG keys, same estimator)."""
+    from raytracingweekend_tpu.render import render
+    from raytracingweekend_tpu.utils.config import RenderConfig
+
+    rng = np.random.default_rng(9)
+
+    def build(use_bvh):
+        b = SceneBuilder()
+        mat = b.lambertian(b.constant((0.6, 0.4, 0.3)))
+        for _ in range(60):
+            c = rng.uniform(-4, 4, 3) - (0, 0, 8)
+            b.sphere(tuple(c), float(rng.uniform(0.2, 0.7)), mat)
+        b.camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60.0, 1.0, 0.0, 1.0)
+        return b.build(use_bvh=use_bvh)
+
+    rng = np.random.default_rng(9)
+    s_brute = build(False)
+    rng = np.random.default_rng(9)
+    s_bvh = build(True)
+    assert s_bvh.bvh is not None and s_brute.bvh is None
+
+    cfg = RenderConfig(nx=16, ny=16, spp=8, max_depth=5,
+                       samples_per_launch=8, seed=2, loop_mode="while")
+    img_a = render(s_brute, cfg)
+    img_b = render(s_bvh, cfg)
+    np.testing.assert_allclose(img_a, img_b, rtol=2e-3, atol=1e-5)

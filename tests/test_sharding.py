@@ -58,3 +58,18 @@ def test_sharded_determinism():
     b = np.asarray(render_sharded(scene, mesh, jax.random.key(2), 16, 16, 8,
                                   max_depth=6))
     np.testing.assert_array_equal(a, b)
+
+
+def test_render_distributed_virtual_mesh():
+    """distributed.render_distributed on the virtual 8-device mesh: full
+    image assembled on the host, matching the plain sharded render."""
+    import numpy as np
+    from raytracingweekend_tpu.parallel import distributed
+
+    scene = make_scene("dielectric", 1.0)
+    key = jax.random.key(4)
+    img = distributed.render_distributed(scene, key, 16, 16, spp=8,
+                                         max_depth=5, sp=2)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.1
