@@ -30,12 +30,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from raytracingweekend_tpu.models.scenes import make_scene
-from raytracingweekend_tpu.render import render_chunk_regen
+from raytracingweekend_tpu.render import render_chunk_tiled
 
 NX, NY = 1200, 800
 MAX_DEPTH = 50
-SPP_PER_LAUNCH = 4
-TIMED_LAUNCHES = 4
+SPP_PER_LAUNCH = 64
+TIMED_LAUNCHES = 2
 BASELINE_RAYS_PER_S = 1.0e9
 
 
@@ -43,15 +43,16 @@ def main():
     scene = make_scene("random_balls", NX / NY)
     key = jax.random.key(0)
 
-    # Warmup / compile (persistent-cached across runs).
-    img, seg = render_chunk_regen(scene, key, NX, NY, SPP_PER_LAUNCH,
+    # Warmup / compile (persistent-cached across runs). Tiled per-pixel-slot
+    # wavefront with Russian roulette: the scatter-free fast path.
+    img, seg = render_chunk_tiled(scene, key, NX, NY, SPP_PER_LAUNCH,
                                   MAX_DEPTH)
     _ = float(seg)
 
     total_segments = 0.0
     t0 = time.perf_counter()
     for launch in range(TIMED_LAUNCHES):
-        img, seg = render_chunk_regen(scene,
+        img, seg = render_chunk_tiled(scene,
                                       jax.random.fold_in(key, launch + 1),
                                       NX, NY, SPP_PER_LAUNCH, MAX_DEPTH)
         total_segments += float(seg)  # forces device sync per launch

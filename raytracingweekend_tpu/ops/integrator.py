@@ -47,8 +47,15 @@ def _background(d, scene: st.Scene):
 
 
 def _bounce(scene: st.Scene, base_key, bounce, o, d, time, tp, radiance,
-            active):
-    """One wavefront bounce == one level of the color() recursion."""
+            active, depth=None, rr_depth=None):
+    """One wavefront bounce == one level of the color() recursion.
+
+    With `rr_depth` set, Russian roulette terminates low-throughput paths
+    past that depth with survival probability max(tp) (clamped), dividing
+    the survivors' throughput by it — an unbiased tail cutoff the reference
+    lacks (it hard-recurses to depth 100). This keeps wavefront slots from
+    being held hostage by a few deep glass paths.
+    """
     kb = jax.random.fold_in(base_key, bounce)
     k_med, k_shade = jax.random.split(kb)
 
@@ -72,6 +79,13 @@ def _bounce(scene: st.Scene, base_key, bounce, o, d, time, tp, radiance,
     # Terminating on an all-zero throughput is an optimization the reference
     # lacks (it keeps recursing); the contribution is identically zero.
     alive = live & sr.scatter & jnp.any(tp > 0.0, axis=-1)
+    if rr_depth is not None and depth is not None:
+        p_cont = jnp.clip(jnp.max(tp, axis=-1), 0.05, 0.95)
+        do_rr = alive & (depth >= rr_depth)
+        u = sampling.uniform(jax.random.fold_in(kb, 7), do_rr.shape)
+        survive = ~do_rr | (u < p_cont)
+        tp = jnp.where((do_rr & survive)[:, None], tp / p_cont[:, None], tp)
+        alive = alive & survive
     o = jnp.where(alive[:, None], hit.p, o)
     d = jnp.where(alive[:, None], sr.direction, d)
     return o, d, tp, radiance, alive
@@ -118,7 +132,8 @@ def trace(key, o, d, time, scene: st.Scene, max_depth: int = 100,
 
 
 def trace_regenerative(key, scene: st.Scene, nx: int, ny: int, spp: int,
-                       max_depth: int = 100, n_slots: int = 1 << 19):
+                       max_depth: int = 100, n_slots: int = 1 << 19,
+                       rr_depth: int | None = 4):
     """Path-regenerative wavefront integrator: the production forward path.
 
     The lockstep `trace` loop runs until the LAST path dies, so with a mean
@@ -178,7 +193,8 @@ def trace_regenerative(key, scene: st.Scene, nx: int, ny: int, spp: int,
         segments = segments + jnp.sum(active.astype(jnp.float32))
         kb = jax.random.fold_in(k_loop, it)
         o2, d2, tp2, rad2, alive = _bounce(scene, kb, 0, o, d, time, tp, rad,
-                                           active)
+                                           active, depth=depth,
+                                           rr_depth=rr_depth)
         depth = depth + 1
         alive = alive & (depth < max_depth)
 
@@ -231,7 +247,8 @@ def _block_linear_order(nx: int, ny: int, block: int = 32):
 
 def trace_tiled(key, scene: st.Scene, nx: int, ny: int, spp: int,
                 max_depth: int = 100, n_slots: int = 1 << 19,
-                spp_per_slot: int | None = None):
+                spp_per_slot: int | None = None,
+                rr_depth: int | None = 4):
     """Tiled per-pixel-slot wavefront integrator — the scatter-free fast path.
 
     Random-index scatter-add costs ~60 ms per iteration at wavefront widths
@@ -310,7 +327,8 @@ def trace_tiled(key, scene: st.Scene, nx: int, ny: int, spp: int,
             segs = segs + jnp.sum(active.astype(jnp.float32))
             kb = jax.random.fold_in(kt, it + 1)
             o2, d2, tp2, rad2, alive = _bounce(scene, kb, 0, o, d, time, tp,
-                                               rad, active)
+                                               rad, active, depth=depth,
+                                               rr_depth=rr_depth)
             depth = depth + 1
             alive = alive & (depth < max_depth)
             finished = active & ~alive
