@@ -81,7 +81,12 @@ def random_balls_scene(aspect: float, moving: bool = True) -> st.Scene:
     for a in range(-11, 11):
         for bb in range(-11, 11):
             choose_mat = eng.uniform()
-            center = (a + 0.9 * eng.uniform(), 0.2, bb + 0.9 * eng.uniform())
+            # g++ evaluates the vec3 constructor's arguments RIGHT TO LEFT
+            # (scene.h:116), so the z coordinate consumes the next uniform
+            # before x does — replicated for golden parity with the oracle.
+            uz = eng.uniform()
+            ux = eng.uniform()
+            center = (a + 0.9 * ux, 0.2, bb + 0.9 * uz)
             dx = center[0] - 4.0
             dz = center[2] - 0.0
             if math.sqrt(dx * dx + (center[1] - 0.2) ** 2 + dz * dz) <= 0.9:

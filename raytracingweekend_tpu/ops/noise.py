@@ -27,31 +27,31 @@ _SIZE = 256
 def _make_tables():
     # ranfloat: 256 uniforms (noise.h:189-198)
     ranfloat = _minstd_stream(_SIZE)
-    # ranvec: 256 normalized vectors from the [-1,1]^3 cube (noise.h:200-213)
+    # ranvec: 256 normalized vectors from the [-1,1]^3 cube (noise.h:200-213).
+    # g++ evaluates the vec3 constructor's three uniform(engine) arguments
+    # RIGHT TO LEFT, so per vector the first draw is z — hence the [::-1].
     u = _minstd_stream(3 * _SIZE).reshape(_SIZE, 3)
-    ranvec = -1.0 + 2.0 * u
+    ranvec = -1.0 + 2.0 * u[:, ::-1]
     ranvec /= np.linalg.norm(ranvec, axis=-1, keepdims=True)
-    # permutations: identity shuffled by Fisher-Yates (noise.h:166-187),
-    # fresh engine per axis in the reference — but the reference constructs a
-    # *new* default engine inside permute() for each call, so all three perms
-    # would be identical; we use per-axis seeds instead (a deliberate fix: the
-    # XOR hash at noise.h:137 degenerates if perm_x == perm_y == perm_z).
-    perms = []
-    for seed in (1, 7919, 104729):
-        p = np.arange(_SIZE, dtype=np.int64)
-        stream = _minstd_stream(_SIZE, seed=seed)
-        si = 0
-        for i in range(_SIZE - 1, 0, -1):
-            target = int(stream[si] * (i + 1))
-            si += 1
-            p[i], p[target] = p[target], p[i]
-        perms.append(p.astype(np.int32))
+    # permutations: identity shuffled by Fisher-Yates (noise.h:166-187).
+    # The reference constructs a FRESH default-seeded engine inside permute()
+    # for each call, so perm_x == perm_y == perm_z — a quirk we replicate
+    # verbatim for pixel parity with the oracle (the XOR hash at noise.h:137
+    # still varies through its i/j/k arguments).
+    p = np.arange(_SIZE, dtype=np.int64)
+    stream = _minstd_stream(_SIZE)
+    si = 0
+    for i in range(_SIZE - 1, 0, -1):
+        target = int(stream[si] * (i + 1))
+        si += 1
+        p[i], p[target] = p[target], p[i]
+    perm = p.astype(np.int32)
     return (
         jnp.asarray(ranfloat, dtype=jnp.float32),
         jnp.asarray(ranvec, dtype=jnp.float32),
-        jnp.asarray(perms[0]),
-        jnp.asarray(perms[1]),
-        jnp.asarray(perms[2]),
+        jnp.asarray(perm),
+        jnp.asarray(perm),
+        jnp.asarray(perm),
     )
 
 

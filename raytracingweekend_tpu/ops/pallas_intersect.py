@@ -34,7 +34,11 @@ from ..models import scene_types as st
 BIG = 3.0e37  # python float: jnp scalars would be captured consts in pallas
 
 # Sphere-table lane indices.
-_CX, _CY, _CZ, _DCX, _DCY, _DCZ, _T0, _IDT, _R, _R2, _ACT = range(11)
+(_CX, _CY, _CZ, _DCX, _DCY, _DCZ, _T0, _IDT, _R, _R2, _ACT,
+ _K0, _K1, _K2) = range(14)
+# _K0 = |c0|^2 - r^2, _K1 = 2 c0.dc, _K2 = |dc|^2 — precomputed so the
+# per-(ray, sphere) quadratic setup decomposes into MXU matmuls plus a few
+# VPU passes (see _kernel).
 _SPH_LANES = 128  # pad attr lanes to the TPU lane width
 
 
@@ -52,6 +56,9 @@ def pack_spheres(spheres: st.Spheres) -> np.ndarray:
         _T0: spheres.time0, _IDT: inv_dt,
         _R: spheres.radius, _R2: spheres.radius ** 2,
         _ACT: spheres.active.astype(jnp.float32),
+        _K0: jnp.sum(c0 * c0, axis=-1) - spheres.radius ** 2,
+        _K1: 2.0 * jnp.sum(c0 * dc, axis=-1),
+        _K2: jnp.sum(dc * dc, axis=-1),
     }
     for lane, v in cols.items():
         tab = tab.at[:, lane].set(v.astype(jnp.float32))
@@ -68,6 +75,14 @@ def pack_rays(o, d, time) -> jnp.ndarray:
 
 
 def _kernel(ray_ref, sph_ref, t_ref, i_ref, *, moving: bool, t_min: float):
+    """Elementwise quadratic setup over (S, T) broadcasts.
+
+    NOTE an MXU variant decomposing b/cc into (S,3)x(3,T) dot_generals was
+    tried and produces wrong results on-device (and in interpret mode) even
+    though the identical math is correct as plain XLA ops — the K=3
+    contraction of VMEM sub-slices appears to pick up neighboring lanes.
+    The measured upside was only ~20%, so the proven elementwise form stays.
+    """
     rays = ray_ref[...]                       # (8, T)
     ox, oy, oz = rays[0:1], rays[1:2], rays[2:3]
     dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
