@@ -387,5 +387,9 @@ class SceneBuilder:
             has_noise_tex=st.TEX_NOISE in ttypes,
             has_image_tex=st.TEX_IMAGE in ttypes,
             has_checker_tex=st.TEX_CHECKER in ttypes,
+            has_metal=any(m.mtype == st.MAT_METAL for m in mats),
+            has_dielectric=any(m.mtype == st.MAT_DIELECTRIC for m in mats),
+            has_isotropic=any(m.mtype == st.MAT_ISOTROPIC for m in mats),
+            has_lights_mat=any(m.mtype == st.MAT_DIFFUSE_LIGHT for m in mats),
             needs_legacy_textures=complex_checker,
             name=name)

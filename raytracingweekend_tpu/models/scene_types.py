@@ -205,6 +205,14 @@ class Scene:
     has_noise_tex: bool = struct.field(pytree_node=False, default=False)
     has_image_tex: bool = struct.field(pytree_node=False, default=False)
     has_checker_tex: bool = struct.field(pytree_node=False, default=False)
+    # Material-presence flags: shading evaluates all *present* material
+    # branches as masked vector code, so a scene without e.g. dielectrics
+    # compiles none of the refraction math (the jit-era analogue of the
+    # reference's per-scene compile, RayTracingWeekend.cpp:199-202).
+    has_metal: bool = struct.field(pytree_node=False, default=True)
+    has_dielectric: bool = struct.field(pytree_node=False, default=True)
+    has_isotropic: bool = struct.field(pytree_node=False, default=True)
+    has_lights_mat: bool = struct.field(pytree_node=False, default=True)
     # True when the packed shading rows (ops/packing.py) cannot express the
     # texture graph (a checker with procedural children) and shading must use
     # the gather-based evaluator. The reference never needs this.

@@ -92,9 +92,14 @@ def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
 
     # --- emission (diffuse_light::emitted, material.h:238-244) ---
     # One-sided: emits only when the ray direction agrees with the normal.
-    facing = linalg.dot(hit.normal, d_in) > 0
-    is_light = mtype == st.MAT_DIFFUSE_LIGHT
-    emitted = jnp.where((is_light & facing)[:, None], tex_val, 0.0)
+    # Scene-level material-presence flags compile absent branches away.
+    if scene.has_lights_mat:
+        facing = linalg.dot(hit.normal, d_in) > 0
+        is_light = mtype == st.MAT_DIFFUSE_LIGHT
+        emitted = jnp.where((is_light & facing)[:, None], tex_val, 0.0)
+    else:
+        is_light = jnp.zeros((N,), bool)
+        emitted = jnp.zeros((N, 3), d_in.dtype)
 
     # --- lambertian: cosine pdf + MIS mixture (material.h:77-122) ---
     mix_dir, pdf_val = pdfs.mixture_sample_and_value(k_mix, hit.p, hit.normal,
@@ -108,32 +113,40 @@ def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
         0.0)
 
     # --- metal (material.h:124-140) ---
-    reflected_unit = linalg.reflect(linalg.normalize(d_in), hit.normal)
-    metal_dir = (reflected_unit
-                 + fuzz_all[:, None] * sampling.random_in_unit_sphere(
-                     k_fuzz, (N,)))
+    if scene.has_metal:
+        reflected_unit = linalg.reflect(linalg.normalize(d_in), hit.normal)
+        metal_dir = (reflected_unit
+                     + fuzz_all[:, None] * sampling.random_in_unit_sphere(
+                         k_fuzz, (N,)))
+    else:
+        metal_dir = d_in
 
     # --- dielectric (material.h:142-225) ---
-    ref_idx = ref_idx_all
-    d_dot_n = linalg.dot(d_in, hit.normal)
-    d_len = linalg.length(d_in)
-    inside = d_dot_n > 0
-    outward_normal = jnp.where(inside[:, None], -hit.normal, hit.normal)
-    ni_over_nt = jnp.where(inside, ref_idx, 1.0 / ref_idx)
-    # Schlick cosine: the author's corrected larger-angle form when exiting
-    # (material.h:160-183), plain cosine when entering.
-    ct = d_dot_n / d_len
-    cos_exit = linalg.safe_sqrt(1.0 - ref_idx * ref_idx * (1.0 - ct * ct))
-    cosine = jnp.where(inside, cos_exit, -ct)
-    reflected = linalg.reflect(d_in, hit.normal)  # unnormalized (mat.h:194)
-    refracted, can_refract = linalg.refract(d_in, outward_normal, ni_over_nt)
-    reflect_prob = jnp.where(can_refract,
-                             linalg.schlick(cosine, ref_idx), 1.0)
-    coin = sampling.uniform(k_diel, (N,)) < reflect_prob
-    diel_dir = jnp.where(coin[:, None], reflected, refracted)
+    if scene.has_dielectric:
+        ref_idx = ref_idx_all
+        d_dot_n = linalg.dot(d_in, hit.normal)
+        d_len = linalg.length(d_in)
+        inside = d_dot_n > 0
+        outward_normal = jnp.where(inside[:, None], -hit.normal, hit.normal)
+        ni_over_nt = jnp.where(inside, ref_idx, 1.0 / ref_idx)
+        # Schlick cosine: the author's corrected larger-angle form when
+        # exiting (material.h:160-183), plain cosine when entering.
+        ct = d_dot_n / d_len
+        cos_exit = linalg.safe_sqrt(1.0 - ref_idx * ref_idx * (1.0 - ct * ct))
+        cosine = jnp.where(inside, cos_exit, -ct)
+        reflected = linalg.reflect(d_in, hit.normal)  # unnormalized (:194)
+        refracted, can_refract = linalg.refract(d_in, outward_normal,
+                                                ni_over_nt)
+        reflect_prob = jnp.where(can_refract,
+                                 linalg.schlick(cosine, ref_idx), 1.0)
+        coin = sampling.uniform(k_diel, (N,)) < reflect_prob
+        diel_dir = jnp.where(coin[:, None], reflected, refracted)
+    else:
+        diel_dir = d_in
 
     # --- isotropic (material.h:252-265) ---
-    iso_dir = sampling.random_in_unit_sphere(k_iso, (N,))
+    iso_dir = (sampling.random_in_unit_sphere(k_iso, (N,))
+               if scene.has_isotropic else d_in)
 
     # --- select by material type ---
     is_lam = mtype == st.MAT_LAMBERTIAN
