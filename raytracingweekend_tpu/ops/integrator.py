@@ -282,6 +282,10 @@ def trace_tiled(key, scene: st.Scene, nx: int, ny: int, spp: int,
         spp_per_slot -= 1
     k = spp // spp_per_slot                 # sample-parallel slots per pixel
     T = max(n_slots // k, 256)              # pixels per tile
+    if T == (1 << 15):
+        # Empirically this exact tile shape faults the TPU worker (Mosaic/XLA
+        # shape-specific miscompile; CPU is fine) — sidestep it. See CLAUDE.md.
+        T = 1 << 16
     slots = T * k
     n_tiles = -(-n_pix // T)
     n_pad = n_tiles * T
