@@ -385,6 +385,8 @@ class SceneBuilder:
             has_rect_transforms=self._has_rect_transforms,
             has_media=bool(self._media),
             has_noise_tex=st.TEX_NOISE in ttypes,
+            noise_modes=tuple(sorted({t.noise_mode for t in self._textures
+                                      if t.ttype == st.TEX_NOISE})),
             has_image_tex=st.TEX_IMAGE in ttypes,
             has_checker_tex=st.TEX_CHECKER in ttypes,
             has_metal=any(m.mtype == st.MAT_METAL for m in mats),

@@ -203,6 +203,10 @@ class Scene:
     has_rect_transforms: bool = struct.field(pytree_node=False, default=False)
     has_media: bool = struct.field(pytree_node=False, default=False)
     has_noise_tex: bool = struct.field(pytree_node=False, default=False)
+    # Which noise display modes (NOISE_*) the scene's textures actually use;
+    # texture evaluation computes only these (marble alone needs 1 turb; all
+    # three need 2 turbs + a noise).
+    noise_modes: tuple = struct.field(pytree_node=False, default=())
     has_image_tex: bool = struct.field(pytree_node=False, default=False)
     has_checker_tex: bool = struct.field(pytree_node=False, default=False)
     # Material-presence flags: shading evaluates all *present* material

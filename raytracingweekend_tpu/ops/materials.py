@@ -39,12 +39,19 @@ def _eval_texture_packed(sh, u, v, p, scene: st.Scene):
         from . import noise as noise_mod
         scale = sh[:, packing.S_SCALE]
         mode = sh[:, packing.S_NMODE]
-        turb_p = noise_mod.turb(p)
-        marble = 0.5 * (1.0 + jnp.sin(scale * p[..., 2] + 10.0 * turb_p))
-        smooth = 0.5 * (1.0 + noise_mod.noise(p * scale[..., None]))
-        turbv = noise_mod.turb(p * scale[..., None])
-        nval = jnp.where(mode == st.NOISE_MARBLE, marble,
-                         jnp.where(mode == st.NOISE_SMOOTH, smooth, turbv))
+        modes = scene.noise_modes or (st.NOISE_MARBLE, st.NOISE_SMOOTH,
+                                      st.NOISE_TURB)
+        nval = jnp.zeros(p.shape[:-1], p.dtype)
+        if st.NOISE_MARBLE in modes:
+            marble = 0.5 * (1.0 + jnp.sin(scale * p[..., 2]
+                                          + 10.0 * noise_mod.turb(p)))
+            nval = jnp.where(mode == st.NOISE_MARBLE, marble, nval)
+        if st.NOISE_SMOOTH in modes:
+            smooth = 0.5 * (1.0 + noise_mod.noise(p * scale[..., None]))
+            nval = jnp.where(mode == st.NOISE_SMOOTH, smooth, nval)
+        if st.NOISE_TURB in modes:
+            turbv = noise_mod.turb(p * scale[..., None])
+            nval = jnp.where(mode == st.NOISE_TURB, turbv, nval)
         out = jnp.where((ttype == st.TEX_NOISE)[:, None], nval[:, None], out)
     if scene.has_image_tex and scene.textures.images is not None:
         img_id = sh[:, packing.S_IMG].astype(jnp.int32)

@@ -66,6 +66,62 @@ def _smooth(x, smoother: bool):
     return x * x * (3.0 - 2.0 * x)
 
 
+def _use_onehot() -> bool:
+    """On TPU, gathers run at ~10M elements/s — a 56-taps-per-point Perlin
+    eval over a wavefront costs seconds. Routing the 256-entry table lookups
+    through chunked one-hot matmuls puts them on the MXU instead (~50x)."""
+    import os
+
+    import jax as _jax
+    if os.environ.get("RTW_NO_ONEHOT_LOOKUP"):
+        return False
+    try:
+        return _jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+_CHUNK = 1 << 16  # (chunk, 256) f32 one-hot = 64 MB peak scratch
+
+
+def _lookup(table, idx):
+    """table[idx] for a 256-row table; one-hot matmul on TPU, gather
+    elsewhere. idx: int32, any shape; table: (256,) or (256, C)."""
+    if not _use_onehot():
+        return table[idx]
+    tab = table.astype(jnp.float32)
+    if tab.ndim == 1:
+        tab = tab[:, None]
+    flat = idx.reshape(-1)
+    n = flat.shape[0]
+    pad = (-n) % _CHUNK
+    flat = jnp.pad(flat, (0, pad))
+
+    def chunk(c):
+        import jax as _jax
+        oh = _jax.nn.one_hot(c, 256, dtype=jnp.float32)
+        return oh @ tab
+
+    import jax as _jax
+    out = _jax.lax.map(chunk, flat.reshape(-1, _CHUNK))
+    out = out.reshape(-1, tab.shape[1])[:n]
+    if table.ndim == 1:
+        out = out[:, 0].reshape(idx.shape)
+    else:
+        out = out.reshape(idx.shape + (table.shape[1],))
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        # table values are small ints (0..255), exact in f32
+        out = out.astype(table.dtype)
+    return out
+
+
+# Corner offsets (8, 1): unrolled as one batched axis so the whole lattice
+# lookup is FOUR lookup ops (3 perm tables + 1 value table) instead of 32.
+_DI = jnp.array([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32)[:, None]
+_DJ = jnp.array([0, 0, 1, 1, 0, 0, 1, 1], jnp.int32)[:, None]
+_DK = jnp.array([0, 1, 0, 1, 0, 1, 0, 1], jnp.int32)[:, None]
+
+
 def noise(p, mode: str = "perlin", smoother: bool = False):
     """Perlin noise in [-1, 1] for points p of shape (..., 3) (noise.h:89-151).
 
@@ -81,49 +137,48 @@ def noise(p, mode: str = "perlin", smoother: bool = False):
         idx = perm_x[i] ^ perm_y[j] ^ perm_z[k]
         return ranfloat[idx]
 
-    pf = jnp.floor(p)
-    u = p[..., 0] - pf[..., 0]
-    v = p[..., 1] - pf[..., 1]
-    w = p[..., 2] - pf[..., 2]
-    i = pf[..., 0].astype(jnp.int32)
-    j = pf[..., 1].astype(jnp.int32)
-    k = pf[..., 2].astype(jnp.int32)
+    shape = p.shape[:-1]
+    flat = p.reshape(-1, 3)
+    pf = jnp.floor(flat)
+    u = flat[:, 0] - pf[:, 0]
+    v = flat[:, 1] - pf[:, 1]
+    w = flat[:, 2] - pf[:, 2]
+    i = pf[:, 0].astype(jnp.int32)
+    j = pf[:, 1].astype(jnp.int32)
+    k = pf[:, 2].astype(jnp.int32)
 
-    uu = _smooth(u, smoother)
-    vv = _smooth(v, smoother)
-    ww = _smooth(w, smoother)
+    uu = _smooth(u, smoother)[None]           # (1, N)
+    vv = _smooth(v, smoother)[None]
+    ww = _smooth(w, smoother)[None]
 
-    accum = jnp.zeros(p.shape[:-1], dtype=p.dtype)
-    # 8 static corner taps — unrolled so XLA emits plain vector gathers.
-    for di in (0, 1):
-        for dj in (0, 1):
-            for dk in (0, 1):
-                idx = (
-                    perm_x[(i + di) & 255]
-                    ^ perm_y[(j + dj) & 255]
-                    ^ perm_z[(k + dk) & 255]
-                )
-                wgt = (
-                    (di * uu + (1 - di) * (1.0 - uu))
-                    * (dj * vv + (1 - dj) * (1.0 - vv))
-                    * (dk * ww + (1 - dk) * (1.0 - ww))
-                )
-                if mode == "trilinear":
-                    accum = accum + wgt * ranfloat[idx]
-                else:  # perlin: dot(gradient, corner-relative offset)
-                    g = ranvec[idx]
-                    rel = jnp.stack([u - di, v - dj, w - dk], axis=-1)
-                    accum = accum + wgt * jnp.sum(g * rel, axis=-1)
-    return accum
+    idx = (_lookup(perm_x, (i[None] + _DI) & 255)
+           ^ _lookup(perm_y, (j[None] + _DJ) & 255)
+           ^ _lookup(perm_z, (k[None] + _DK) & 255))   # (8, N)
+    di = _DI.astype(p.dtype)
+    dj = _DJ.astype(p.dtype)
+    dk = _DK.astype(p.dtype)
+    wgt = ((di * uu + (1 - di) * (1.0 - uu))
+           * (dj * vv + (1 - dj) * (1.0 - vv))
+           * (dk * ww + (1 - dk) * (1.0 - ww)))  # (8, N)
+    if mode == "trilinear":
+        accum = jnp.sum(wgt * _lookup(ranfloat, idx), axis=0)
+    else:  # perlin: dot(gradient, corner-relative offset)
+        g = _lookup(ranvec, idx)               # (8, N, 3)
+        rel = jnp.stack([u[None] - di, v[None] - dj, w[None] - dk], axis=-1)
+        accum = jnp.sum(wgt * jnp.sum(g * rel, axis=-1), axis=0)
+    return accum.reshape(shape)
 
 
 def turb(p, depth: int = 7, mode: str = "perlin", smoother: bool = False):
-    """7-octave |fBm| turbulence (noise.h:74-86): abs of the weighted sum."""
-    accum = jnp.zeros(p.shape[:-1], dtype=p.dtype)
-    temp_p = p
-    weight = 1.0
-    for _ in range(depth):
-        accum = accum + weight * noise(temp_p, mode=mode, smoother=smoother)
-        weight *= 0.5
-        temp_p = temp_p * 2.0
-    return jnp.abs(accum)
+    """7-octave |fBm| turbulence (noise.h:74-86): abs of the weighted sum.
+
+    All octaves evaluate in ONE widened noise() call (points stacked along a
+    new axis), so a full turbulence costs the same 4 gather ops as a single
+    noise tap."""
+    scales = (2.0 ** jnp.arange(depth, dtype=p.dtype)).reshape(
+        (depth,) + (1,) * p.ndim)
+    pts = p[None] * scales                      # (depth, ..., 3)
+    vals = noise(pts, mode=mode, smoother=smoother)   # (depth, ...)
+    weights = (0.5 ** jnp.arange(depth, dtype=p.dtype)).reshape(
+        (depth,) + (1,) * (p.ndim - 1))
+    return jnp.abs(jnp.sum(weights * vals, axis=0))

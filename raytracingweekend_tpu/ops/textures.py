@@ -22,13 +22,20 @@ def _eval_non_checker(ti, u, v, p, scene: st.Scene):
     if scene.has_noise_tex:
         scale = tex.scale[ti]
         mode = tex.noise_mode[ti]
-        turb_p = noise_mod.turb(p)
-        # marble: 0.5*(1+sin(scale*z + 10*turb(p)))  (texture.h:67)
-        marble = 0.5 * (1.0 + jnp.sin(scale * p[..., 2] + 10.0 * turb_p))
-        smooth = 0.5 * (1.0 + noise_mod.noise(p * scale[..., None]))
-        turbv = noise_mod.turb(p * scale[..., None])
-        nval = jnp.where(mode == st.NOISE_MARBLE, marble,
-                         jnp.where(mode == st.NOISE_SMOOTH, smooth, turbv))
+        modes = scene.noise_modes or (st.NOISE_MARBLE, st.NOISE_SMOOTH,
+                                      st.NOISE_TURB)
+        nval = jnp.zeros(p.shape[:-1], p.dtype)
+        if st.NOISE_MARBLE in modes:
+            # marble: 0.5*(1+sin(scale*z + 10*turb(p)))  (texture.h:67)
+            marble = 0.5 * (1.0 + jnp.sin(scale * p[..., 2]
+                                          + 10.0 * noise_mod.turb(p)))
+            nval = jnp.where(mode == st.NOISE_MARBLE, marble, nval)
+        if st.NOISE_SMOOTH in modes:
+            smooth = 0.5 * (1.0 + noise_mod.noise(p * scale[..., None]))
+            nval = jnp.where(mode == st.NOISE_SMOOTH, smooth, nval)
+        if st.NOISE_TURB in modes:
+            turbv = noise_mod.turb(p * scale[..., None])
+            nval = jnp.where(mode == st.NOISE_TURB, turbv, nval)
         out = jnp.where((tex.ttype[ti] == st.TEX_NOISE)[..., None],
                         nval[..., None] * jnp.ones((3,), dtype=out.dtype),
                         out)
