@@ -376,8 +376,9 @@ def closest_hit(key, o, d, time, scene: st.Scene, t_min=T_MIN,
     prim = jnp.where(kind == KIND_SPHERE, idx,
                      jnp.where(kind == KIND_RECT, idx + base_r,
                                idx + base_v))
-    geo = packing.pack_geometry(scene)[prim]      # (N, 16)
-    sattr = packing.pack_shading(scene)[prim]     # (N, 16)
+    from .lookup import table_lookup
+    geo = table_lookup(packing.pack_geometry(scene), prim)    # (N, 16)
+    sattr = table_lookup(packing.pack_shading(scene), prim)   # (N, 16)
     mat = jnp.where(hit, geo[:, packing.G_MAT].astype(jnp.int32), 0)
 
     is_s = kind == KIND_SPHERE
