@@ -135,54 +135,84 @@ def lights_pdf_value(o, v, scene: st.Scene):
     return jnp.sum(jnp.where(live[None], per_light, 0.0), axis=-1) / lights.num
 
 
+# Packed light-row lanes (see _light_rows).
+(_L_KIND, _L_A0, _L_A1, _L_B0, _L_B1, _L_K, _L_AXIS, _L_COS, _L_SIN,
+ _L_OFFX, _L_OFFY, _L_OFFZ, _L_CX, _L_CY, _L_CZ, _L_RAD) = range(16)
+
+
+def _light_rows(scene: st.Scene):
+    """(L, 16) float32 rows holding each light's sampling attributes (rect
+    extents/transform or sphere center/radius), so per-ray light sampling
+    needs ONE row lookup instead of ~12 per-ray table gathers."""
+    lights = scene.lights
+    L = lights.kind.shape[0]
+    rows = jnp.zeros((L, 16), jnp.float32)
+    rows = rows.at[:, _L_KIND].set(lights.kind.astype(jnp.float32))
+    if scene.rects.count():
+        r = scene.rects
+        ri = jnp.where(lights.kind == st.LIGHT_RECT, lights.index, 0)
+        rows = rows.at[:, _L_A0].set(r.a0[ri])
+        rows = rows.at[:, _L_A1].set(r.a1[ri])
+        rows = rows.at[:, _L_B0].set(r.b0[ri])
+        rows = rows.at[:, _L_B1].set(r.b1[ri])
+        rows = rows.at[:, _L_K].set(r.k[ri])
+        rows = rows.at[:, _L_AXIS].set(r.axis[ri].astype(jnp.float32))
+        rows = rows.at[:, _L_COS].set(r.cos_t[ri])
+        rows = rows.at[:, _L_SIN].set(r.sin_t[ri])
+        rows = rows.at[:, _L_OFFX:_L_OFFZ + 1].set(r.offset[ri])
+    if scene.spheres.count():
+        sph = scene.spheres
+        si = jnp.where(lights.kind == st.LIGHT_SPHERE, lights.index, 0)
+        rows = rows.at[:, _L_CX:_L_CZ + 1].set(sph.center0[si])
+        rows = rows.at[:, _L_RAD].set(sph.radius[si])
+    return rows
+
+
 def lights_sample(key, o, scene: st.Scene):
     """hittable_list::random over the lights list (hittable_list.h:55-59):
     pick a uniform light, then sample its direction-generating rule.
     Returns (N, 3) — unnormalized for rect lights (hittable.h:224-228),
     unit-cone directions for sphere lights (sphere.h:101-108)."""
+    from .lookup import table_lookup
+
     lights = scene.lights
     N = o.shape[0]
     k_pick, k_rect, k_sph = jax.random.split(key, 3)
     pick = sampling.random_int(k_pick, (N,), 0, lights.num - 1)
-    kind = lights.kind[pick]
-    idx = lights.index[pick]
+    row = table_lookup(_light_rows(scene), pick)            # (N, 16)
+    kind = row[:, _L_KIND]
 
     # Rect sample: uniform point on the rect, mapped through its transform.
-    if scene.rects.count():
-        r = scene.rects
-        ri = jnp.where(kind == st.LIGHT_RECT, idx, 0)
-        ka, kb = jax.random.split(k_rect)
-        ua = sampling.uniform(ka, (N,))
-        ub = sampling.uniform(kb, (N,))
-        pa = r.a0[ri] + ua * (r.a1[ri] - r.a0[ri])
-        pb = r.b0[ri] + ub * (r.b1[ri] - r.b0[ri])
-        kk = r.k[ri]
-        axis = r.axis[ri]
-        # object-space point by axis code
-        px = jnp.where(axis == st.RECT_YZ, kk, pa)
-        py = jnp.where(axis == st.RECT_XY, pb,
-                       jnp.where(axis == st.RECT_XZ, kk, pa))
-        pz = jnp.where(axis == st.RECT_XY, kk, pb)
-        # rotate object->world (inverse of the ray transform) and translate
-        c, s = r.cos_t[ri], r.sin_t[ri]
-        wx = c * px + s * pz
-        wz = -s * px + c * pz
-        point = jnp.stack([wx, py, wz], axis=-1) + r.offset[ri]
-        rect_dir = point - o
-    else:
-        rect_dir = jnp.zeros_like(o)
+    ka, kb = jax.random.split(k_rect)
+    ua = sampling.uniform(ka, (N,))
+    ub = sampling.uniform(kb, (N,))
+    pa = row[:, _L_A0] + ua * (row[:, _L_A1] - row[:, _L_A0])
+    pb = row[:, _L_B0] + ub * (row[:, _L_B1] - row[:, _L_B0])
+    kk = row[:, _L_K]
+    axis = row[:, _L_AXIS]
+    # object-space point by axis code
+    px = jnp.where(axis == st.RECT_YZ, kk, pa)
+    py = jnp.where(axis == st.RECT_XY, pb,
+                   jnp.where(axis == st.RECT_XZ, kk, pa))
+    pz = jnp.where(axis == st.RECT_XY, kk, pb)
+    # rotate object->world (inverse of the ray transform) and translate
+    c, s = row[:, _L_COS], row[:, _L_SIN]
+    wx = c * px + s * pz
+    wz = -s * px + c * pz
+    point = (jnp.stack([wx, py, wz], axis=-1)
+             + row[:, _L_OFFX:_L_OFFZ + 1])
+    rect_dir = point - o
 
     # Sphere sample: cone toward the sphere (sphere.h:101-108).
-    if scene.spheres.count():
-        sph = scene.spheres
-        si = jnp.where(kind == st.LIGHT_SPHERE, idx, 0)
-        to_c = sph.center0[si] - o
-        dist2 = linalg.length_squared(to_c)
-        u, v, w = linalg.onb_from_w(to_c)
-        local = sampling.random_to_sphere(k_sph, sph.radius[si], dist2)
-        sph_dir = linalg.onb_local(u, v, w, local)
-    else:
-        sph_dir = jnp.zeros_like(o)
+    to_c = row[:, _L_CX:_L_CZ + 1] - o
+    dist2 = linalg.length_squared(to_c)
+    # padded/non-sphere rows have center 0 / radius 0; mask keeps them out
+    safe = dist2 > 0
+    dist2 = jnp.where(safe, dist2, 1.0)
+    u, v, w = linalg.onb_from_w(jnp.where(safe[:, None], to_c,
+                                          jnp.array([1.0, 0.0, 0.0])))
+    local = sampling.random_to_sphere(k_sph, row[:, _L_RAD], dist2)
+    sph_dir = linalg.onb_local(u, v, w, local)
 
     return jnp.where((kind == st.LIGHT_RECT)[:, None], rect_dir, sph_dir)
 
