@@ -6,12 +6,12 @@ gradient descent on scene parameters). Design (SURVEY.md §7 step 7):
 
 - the forward path is the fixed-depth "scan" integrator, reverse-mode
   differentiable end to end;
-- discrete *decisions* (hit/miss, material branch, mixture coin, dielectric
-  reflect/refract coin) are comparisons — naturally zero-gradient — and the
-  sampled *directions* are detached (stop_gradient) so geometry gradients use
-  the detached-sampling / reparameterized estimator: radiance derivatives
-  flow through hit points, normals, PDFs, textures, and attenuations but not
-  through the sampling chain itself;
+- sampling is *reparameterized*: the raw uniform draws are parameter-free,
+  so sampled directions are differentiable through the ONB frame, normals,
+  and Snell's law (materials.shade). Only discrete *decisions* (hit/miss,
+  material branch, mixture coin, dielectric reflect/refract coin) are
+  comparisons with zero gradient — matching what fixed-key finite
+  differences measure;
 - with a fixed RNG key the whole renderer is a deterministic differentiable
   function, so gradients can be checked against finite differences exactly.
 

@@ -37,10 +37,14 @@ def use_pallas() -> bool:
     """True when the Pallas TPU intersection kernel should be used.
 
     Decided by backend (CPU test meshes and the multichip dry run take the
-    pure-XLA path); RTW_DISABLE_PALLAS=1 forces it off for A/B timing.
+    pure-XLA path); RTW_DISABLE_PALLAS=1 forces it off for A/B timing;
+    RTW_FORCE_PALLAS_INTERPRET=1 forces it ON in interpret mode so CPU tests
+    can exercise the kernel + its custom VJP.
     """
     if os.environ.get("RTW_DISABLE_PALLAS"):
         return False
+    if os.environ.get("RTW_FORCE_PALLAS_INTERPRET"):
+        return True
     try:
         return jax.default_backend() not in ("cpu", "gpu")
     except Exception:  # pragma: no cover - backend probing never raises today
@@ -167,31 +171,91 @@ def _hit_spheres_xla(o, d, time, t_min, spheres: st.Spheres, moving: bool,
     return best_t, best_i
 
 
+def _winner_replay_t(o, d, time, spheres: st.Spheres, bi, moving: bool,
+                     t_min: float):
+    """Differentiable per-ray recompute of the WINNING sphere's hit t.
+
+    The Pallas kernel finds (best_t, best_i) fast but has no autodiff rule;
+    given the (locally constant) winner index, best_t is just the one-sphere
+    quadratic of sphere.h:46-81 — an O(N) replay instead of an O(N*S)
+    backward sweep."""
+    c0 = spheres.center0[bi]
+    c = c0
+    if moving:
+        dcv = (spheres.center1 - spheres.center0)[bi]
+        t0 = spheres.time0[bi]
+        dt = (spheres.time1 - spheres.time0)[bi]
+        inv_dt = jnp.where(dt != 0, 1.0 / jnp.where(dt != 0, dt, 1.0), 0.0)
+        c = c0 + ((time - t0) * inv_dt)[:, None] * dcv
+    oc = o - c
+    a = jnp.sum(d * d, axis=-1)
+    b = jnp.sum(oc * d, axis=-1)
+    cc = jnp.sum(oc * oc, axis=-1) - spheres.radius[bi] ** 2
+    disc = b * b - a * cc
+    sq = linalg.safe_sqrt(disc)
+    t_near = (-b - sq) / a
+    t_far = (-b + sq) / a
+    return jnp.where(t_near > t_min, t_near, t_far)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _hit_spheres_pallas(o, d, time, moving: bool, t_min: float,
+                        spheres: st.Spheres):
+    from . import pallas_intersect as pi
+    N = o.shape[0]
+    tile = 512
+    n_pad = (-N) % tile
+    o_p = jnp.pad(o, ((0, n_pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, n_pad), (0, 0)), constant_values=1.0)
+    t_p = jnp.pad(time, (0, n_pad))
+    rays = pi.pack_rays(o_p, d_p, t_p)
+    table = pi.pack_spheres(spheres)
+    interp = bool(os.environ.get("RTW_FORCE_PALLAS_INTERPRET"))
+    bt, bi = pi.hit_spheres_pallas(rays, table, moving=moving,
+                                   t_min=float(t_min), tile=tile,
+                                   interpret=interp)
+    return bt[:N], bi[:N]
+
+
+def _hit_spheres_pallas_fwd(o, d, time, moving, t_min, spheres):
+    bt, bi = _hit_spheres_pallas(o, d, time, moving, t_min, spheres)
+    return (bt, bi), (o, d, time, spheres, bt, bi)
+
+
+def _hit_spheres_pallas_bwd(moving, t_min, res, g):
+    o, d, time, spheres, bt, bi = res
+    g_t = g[0] * (bt < BIG)  # misses carry the constant BIG: zero tangent
+    _, vjp = jax.vjp(
+        lambda o_, d_, tm_, sph_: _winner_replay_t(o_, d_, tm_, sph_,
+                                                   jnp.maximum(bi, 0),
+                                                   moving, t_min),
+        o, d, time, spheres)
+    return vjp(g_t)
+
+
+_hit_spheres_pallas.defvjp(_hit_spheres_pallas_fwd, _hit_spheres_pallas_bwd)
+
+
 def hit_spheres(o, d, time, t_min, spheres: st.Spheres, moving: bool,
                 block: int = 256):
     """Closest sphere hit: (best_t (N,), best_idx (N,) int32).
 
     On TPU this dispatches to the Pallas VMEM-resident kernel
-    (pallas_intersect.py); elsewhere to the fused XLA formulation. Both
-    return BIG / -1 (well, argmin row 0) for misses — callers test
-    ``best_t < BIG``.
+    (pallas_intersect.py), wrapped in a custom VJP whose backward replays
+    only the winning sphere's quadratic (so jax.grad w.r.t. sphere
+    centers/radii works on the TPU backend too); elsewhere to the fused XLA
+    formulation. Both return BIG / -1 (well, argmin row 0) for misses —
+    callers test ``best_t < BIG``.
     """
     N = o.shape[0]
     S = spheres.count()
     if S == 0:
         return jnp.full((N,), BIG), jnp.full((N,), -1, jnp.int32)
     if use_pallas():
-        from . import pallas_intersect as pi
-        tile = 512
-        n_pad = (-N) % tile
-        o_p = jnp.pad(o, ((0, n_pad), (0, 0)))
-        d_p = jnp.pad(d, ((0, n_pad), (0, 0)), constant_values=1.0)
-        t_p = jnp.pad(time, (0, n_pad))
-        rays = pi.pack_rays(o_p, d_p, t_p)
-        table = pi.pack_spheres(spheres)
-        bt, bi = pi.hit_spheres_pallas(rays, table, moving=moving,
-                                       t_min=float(t_min), tile=tile)
-        return bt[:N], bi[:N]
+        return _hit_spheres_pallas(o, d, time, moving, float(t_min), spheres)
     return _hit_spheres_xla(o, d, time, t_min, spheres, moving, block)
 
 
@@ -376,9 +440,18 @@ def closest_hit(key, o, d, time, scene: st.Scene, t_min=T_MIN,
     prim = jnp.where(kind == KIND_SPHERE, idx,
                      jnp.where(kind == KIND_RECT, idx + base_r,
                                idx + base_v))
+    # Miss rays land at idx + base_v, which is one past the end when the
+    # scene has no media rows; clamp so both lookup backends (gather clamps,
+    # one-hot returns zeros) read the same in-range row. Their lanes are
+    # masked downstream, but masked forward values still produce NaN
+    # *cotangents* (inf * 0 in the masked branches), so detach miss rows
+    # from the tables in the backward pass.
+    prim = jnp.clip(prim, 0, base_v + scene.media.count() - 1)
     from .lookup import table_lookup
     geo = table_lookup(packing.pack_geometry(scene), prim)    # (N, 16)
     sattr = table_lookup(packing.pack_shading(scene), prim)   # (N, 16)
+    geo = jnp.where(hit[:, None], geo, jax.lax.stop_gradient(geo))
+    sattr = jnp.where(hit[:, None], sattr, jax.lax.stop_gradient(sattr))
     mat = jnp.where(hit, geo[:, packing.G_MAT].astype(jnp.int32), 0)
 
     is_s = kind == KIND_SPHERE

@@ -66,53 +66,12 @@ def _smooth(x, smoother: bool):
     return x * x * (3.0 - 2.0 * x)
 
 
-def _use_onehot() -> bool:
-    """On TPU, gathers run at ~10M elements/s — a 56-taps-per-point Perlin
-    eval over a wavefront costs seconds. Routing the 256-entry table lookups
-    through chunked one-hot matmuls puts them on the MXU instead (~50x)."""
-    import os
-
-    import jax as _jax
-    if os.environ.get("RTW_NO_ONEHOT_LOOKUP"):
-        return False
-    try:
-        return _jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
-
-
-_CHUNK = 1 << 16  # (chunk, 256) f32 one-hot = 64 MB peak scratch
-
-
-def _lookup(table, idx):
-    """table[idx] for a 256-row table; one-hot matmul on TPU, gather
-    elsewhere. idx: int32, any shape; table: (256,) or (256, C)."""
-    if not _use_onehot():
-        return table[idx]
-    tab = table.astype(jnp.float32)
-    if tab.ndim == 1:
-        tab = tab[:, None]
-    flat = idx.reshape(-1)
-    n = flat.shape[0]
-    pad = (-n) % _CHUNK
-    flat = jnp.pad(flat, (0, pad))
-
-    def chunk(c):
-        import jax as _jax
-        oh = _jax.nn.one_hot(c, 256, dtype=jnp.float32)
-        return oh @ tab
-
-    import jax as _jax
-    out = _jax.lax.map(chunk, flat.reshape(-1, _CHUNK))
-    out = out.reshape(-1, tab.shape[1])[:n]
-    if table.ndim == 1:
-        out = out[:, 0].reshape(idx.shape)
-    else:
-        out = out.reshape(idx.shape + (table.shape[1],))
-    if jnp.issubdtype(table.dtype, jnp.integer):
-        # table values are small ints (0..255), exact in f32
-        out = out.astype(table.dtype)
-    return out
+# On TPU, gathers run at ~10M elements/s — a 56-taps-per-point Perlin eval
+# over a wavefront costs seconds. ops/lookup.table_lookup routes the
+# 256-entry table reads through chunked one-hot matmuls on the MXU (~50x),
+# at Precision.HIGHEST so the float tables (ranfloat, unit gradients) keep
+# full f32 accuracy instead of single-pass-bf16's ~1e-3 rounding.
+from .lookup import table_lookup as _lookup
 
 
 # Corner offsets (8, 1): unrolled as one batched axis so the whole lattice

@@ -132,6 +132,11 @@ def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
     fb = None
     acc = None
     done = 0
+    if cfg.checkpoint and not native.available():
+        raise RuntimeError(
+            "cfg.checkpoint is set but the native runtime is unavailable "
+            "(build it with `make -C native`); refusing to render without "
+            "the requested checkpointing")
     if cfg.checkpoint and native.available():
         import os
         if os.path.exists(cfg.checkpoint):

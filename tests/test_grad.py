@@ -96,19 +96,123 @@ def test_grad_sphere_radius_matches_fd():
                 spp=16, rtol=0.15, atol=2e-6)
 
 
-def test_grad_metal_fuzz_is_finite():
+def test_grad_metal_fuzz_matches_fd():
+    # fuzz is reparameterized (direction = reflected + fuzz * fixed ball
+    # point), so with a fixed key the estimator is smooth in fuzz and FD
+    # measures exactly what AD computes — provided no fuzzed reflection
+    # crosses a hit/miss boundary. The narrow fov keeps hits near the front
+    # of the sphere, where reflections point far from any silhouette, so the
+    # estimator is locally smooth in fuzz.
     b = SceneBuilder()
     b.sphere((0, 0, -2), 1.0, b.metal((0.8, 0.8, 0.8), 0.3))
-    b.camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60.0, 1.0, 0.0, 1.0)
+    b.camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 20.0, 1.0, 0.0, 1.0)
     scene = b.build(background=st.BG_GRADIENT)
 
-    def f(fz):
-        sc = scene.replace(materials=scene.materials.replace(
-            fuzz=scene.materials.fuzz.at[0].set(fz)))
-        return jnp.mean(render_diff(sc, KEY, 8, 8, 4, 4))
+    def setter(sc, theta):
+        return sc.replace(materials=sc.materials.replace(
+            fuzz=sc.materials.fuzz.at[0].set(theta)))
 
-    g = jax.grad(f)(jnp.asarray(0.3))
+    g = _grad_vs_fd(scene, setter, lambda sc: sc.materials.fuzz[0],
+                    eps=1e-2, spp=16, max_depth=2, rtol=0.1, atol=1e-5)
     assert np.isfinite(float(g))
+
+
+def test_grad_sphere_center_matches_fd():
+    # BASELINE.md names sphere centers as a gradient target. Narrow fov keeps
+    # every ray inside the silhouette (same trick as the radius test), so
+    # visibility is locally constant and FD sees only the continuous terms.
+    b = SceneBuilder()
+    b.sphere((0, 0, -2), 1.0, b.lambertian(b.constant((0.5, 0.3, 0.7))))
+    b.camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 30.0, 1.0, 0.0, 1.0)
+    scene = b.build(background=st.BG_GRADIENT)
+
+    def setter(sc, theta):
+        c = sc.spheres.center0.at[0, 0].set(theta)
+        # static sphere: keep center1 == center0 (the motion lerp identity)
+        return sc.replace(spheres=sc.spheres.replace(center0=c, center1=c))
+
+    _grad_vs_fd(scene, setter, lambda sc: sc.spheres.center0[0, 0], eps=2e-2,
+                spp=16, rtol=0.15, atol=2e-6)
+
+
+def test_grad_dielectric_ior_matches_fd():
+    # IOR gradient flows through Snell's law (refraction direction) and the
+    # Schlick weight (material.h:142-225). The full estimator's only
+    # IOR-discontinuities are the reflect/refract coin and TIR flips, so the
+    # FD check runs at the shade level on rays that all refract (near-normal
+    # incidence: reflect_prob ~ 0.04, drawn uniforms checked > 0.1): the
+    # branch is pinned and FD measures exactly the Snell/Schlick derivative.
+    from raytracingweekend_tpu.ops import geometry, materials, sampling
+
+    b = SceneBuilder()
+    b.sphere((0, 0, -2), 1.0, b.dielectric(1.5))
+    b.camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 30.0, 1.0, 0.0, 1.0)
+    scene = b.build(background=st.BG_GRADIENT)
+
+    N = 16
+    key = jax.random.key(3)
+    o = jnp.zeros((N, 3))
+    d = jnp.stack([jnp.linspace(-0.15, 0.15, N), jnp.zeros(N),
+                   -jnp.ones(N)], axis=-1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    time = jnp.zeros((N,))
+
+    # The dielectric coin is the 3rd split of the shade key; restrict the
+    # objective to rays whose drawn uniform is far from the ~0.04 reflect
+    # probability, so the FD step cannot flip a branch. The mask is fixed
+    # (key-derived, IOR-independent), so it does not affect the derivative.
+    _, _, k_diel, _ = jax.random.split(key, 4)
+    u_coin = sampling.uniform(k_diel, (N,))
+    sel = np.asarray(u_coin) > 0.1
+    assert sel.sum() >= N // 2
+
+    def f(ior):
+        sc = scene.replace(materials=scene.materials.replace(
+            ref_idx=scene.materials.ref_idx.at[0].set(ior)))
+        hit = geometry.closest_hit(key, o, d, time, sc)
+        sr = materials.shade(key, d, hit, sc)
+        # refracted directions bend with IOR; their mean x-component is a
+        # smooth function of it
+        return jnp.mean(sr.direction[:, 0], where=jnp.asarray(sel))
+
+    ior0 = jnp.asarray(1.5)
+    g = jax.grad(f)(ior0)
+    eps = 1e-3
+    fd = (f(ior0 + eps) - f(ior0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-3, atol=1e-6)
+    assert abs(float(g)) > 1e-4  # refraction genuinely depends on IOR
+
+
+def test_pallas_intersect_grad_matches_xla(monkeypatch):
+    # Regression for the TPU-backend landmine: hit_spheres dispatches to the
+    # Pallas kernel there, which has no autodiff rule of its own — the
+    # custom-VJP argmin-replay backward must reproduce the XLA path's
+    # gradients. Forced through interpret mode so CPU CI covers it.
+    from raytracingweekend_tpu.ops import geometry
+
+    scene = _simple_scene()
+    sph = scene.spheres
+    o = jnp.zeros((64, 3))
+    d = jax.random.normal(jax.random.key(1), (64, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    time = jnp.zeros((64,))
+
+    def f(radius):
+        s2 = sph.replace(radius=radius)
+        bt, _ = geometry.hit_spheres(o, d, time, 0.001, s2, False)
+        return jnp.sum(jnp.where(bt < geometry.BIG, bt, 0.0))
+
+    monkeypatch.setenv("RTW_FORCE_PALLAS_INTERPRET", "1")
+    bt_p, bi_p = geometry.hit_spheres(o, d, time, 0.001, sph, False)
+    g_pallas = jax.grad(f)(sph.radius)
+    monkeypatch.delenv("RTW_FORCE_PALLAS_INTERPRET")
+
+    bt_x, bi_x = geometry.hit_spheres(o, d, time, 0.001, sph, False)
+    g_xla = jax.grad(f)(sph.radius)
+    np.testing.assert_allclose(np.asarray(bt_p), np.asarray(bt_x), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_x))
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_inverse_rendering_recovers_albedo():
