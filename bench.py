@@ -30,6 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from raytracingweekend_tpu.models.scenes import make_scene
+from raytracingweekend_tpu.ops import megakernel as mk
 from raytracingweekend_tpu.render import render_chunk_tiled
 
 NX, NY = 1200, 800
@@ -43,18 +44,27 @@ def main():
     scene = make_scene("random_balls", NX / NY)
     key = jax.random.key(0)
 
-    # Warmup / compile (persistent-cached across runs). Tiled per-pixel-slot
-    # wavefront with Russian roulette: the scatter-free fast path.
-    img, seg = render_chunk_tiled(scene, key, NX, NY, SPP_PER_LAUNCH,
+    # Fused Pallas megakernel (ops/megakernel.py): the whole
+    # camera->intersect->shade->regen loop in one VMEM-resident kernel.
+    use_mega = (mk.supports_scene(scene)
+                and not os.environ.get("RTW_BENCH_TILED")
+                and jax.default_backend() not in ("cpu", "gpu"))
+
+    def launch_fn(k):
+        if use_mega:
+            return mk.trace_mega(k, scene, NX, NY, SPP_PER_LAUNCH,
+                                 max_depth=MAX_DEPTH)
+        return render_chunk_tiled(scene, k, NX, NY, SPP_PER_LAUNCH,
                                   MAX_DEPTH)
+
+    # Warmup / compile (persistent-cached across runs).
+    img, seg = launch_fn(key)
     _ = float(seg)
 
     total_segments = 0.0
     t0 = time.perf_counter()
     for launch in range(TIMED_LAUNCHES):
-        img, seg = render_chunk_tiled(scene,
-                                      jax.random.fold_in(key, launch + 1),
-                                      NX, NY, SPP_PER_LAUNCH, MAX_DEPTH)
+        img, seg = launch_fn(jax.random.fold_in(key, launch + 1))
         total_segments += float(seg)  # forces device sync per launch
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,673 @@
+"""Pallas TPU megakernel: the whole path-trace loop fused in VMEM.
+
+The wavefront integrator (ops/integrator.py) runs one XLA launch per bounce:
+intersect (Pallas) -> packed-row lookups -> masked shade -> while-loop
+bookkeeping, round-tripping every (1, N) state row through HBM each bounce.
+Measured on this chip that caps the whole renderer at ~23 M path segments/s
+(see CLAUDE.md). This module is the round-2 answer: ONE kernel per frame that
+keeps a tile of rays' full bounce state in VMEM and runs
+
+    camera-gen -> cluster-culled sphere intersect -> one-hot MXU attribute
+    extraction -> masked shade (lambertian / metal / dielectric) -> Russian
+    roulette -> per-slot sample regeneration
+
+entirely on-chip, with in-kernel RNG (pltpu.prng_*). It is the TPU-native
+rebuild of the reference's hot loop — the recursive color() at
+RayTracingWeekend.cpp:45-160 over hittable_list.h:11-37 — for sphere scenes
+without lights (random_balls / dielectric / checker_spheres class scenes,
+i.e. books 1-2 minus rect lights); rect/light scenes keep the wavefront path.
+
+Design notes:
+- Rays live as (1, T) lane rows (T = tile width). Sphere intersection is
+  (SB, T) blocks (sphere sub-table in sublanes), the same broadcast layout
+  as ops/pallas_intersect.py.
+- Directions are kept unit-length (the camera normalizes, camera.h:48-49,
+  and every scatter re-normalizes), so the sphere quadratic runs with a = 1.
+- Spheres are Morton-sorted into C clusters of SB; each bounce slab-tests
+  the tile against every cluster AABB and *skips whole clusters* no active
+  ray can touch (@pl.when) — the tile-coherent analogue of a BVH's top
+  levels, with zero per-ray divergence cost.
+- The winner's shading attributes come from ONE (16, S) @ (S, T) one-hot
+  matmul on the otherwise idle MXU — no gathers anywhere in the loop.
+- Each slot is bound to one pixel (the scatter-free accumulation scheme of
+  integrator.trace_tiled) and serially regenerates its next jittered sample
+  the moment its path dies, so lanes stay ~fully utilized.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import scene_types as st
+
+BIG = 3.0e37
+_HIT_CUT = 1.0e30  # best_t above this == miss
+
+# ---- attribute-extraction table rows: (16, S), attribute-major ----
+(A_CX, A_CY, A_CZ, A_DCX, A_DCY, A_DCZ, A_T0, A_IDT, A_RINV, A_MTYPE,
+ A_ALBX, A_ALBY, A_ALBZ, A_FUZZ, A_RIDX, A_SPARE) = range(16)
+A_ROWS = 16
+
+# ---- intersect-table lanes: (S, 128), sphere-major (pallas_intersect) ----
+(C_CX, C_CY, C_CZ, C_DCX, C_DCY, C_DCZ, C_T0, C_IDT, C_R2, C_ACT) = range(10)
+SPH_LANES = 128
+
+# ---- cluster AABB lanes: (C, 128) ----
+(K_MINX, K_MINY, K_MINZ, K_MAXX, K_MAXY, K_MAXZ) = range(6)
+CLUS_LANES = 128
+
+# ---- camera parameter lanes: (1, 128) ----
+(CAM_OX, CAM_OY, CAM_OZ, CAM_LLX, CAM_LLY, CAM_LLZ, CAM_HX, CAM_HY, CAM_HZ,
+ CAM_VX, CAM_VY, CAM_VZ, CAM_UX, CAM_UY, CAM_UZ, CAM_WX, CAM_WY, CAM_WZ,
+ CAM_LENS, CAM_T0, CAM_T1) = range(21)
+
+# ---- f32 state scratch rows: (24, T) ----
+(R_OX, R_OY, R_OZ, R_DX, R_DY, R_DZ, R_TIME, R_TPX, R_TPY, R_TPZ,
+ R_RX, R_RY, R_RZ, R_AX, R_AY, R_AZ, R_SEGS, R_DEPTH, R_DONE, R_ITERS
+ ) = range(20)
+STATE_ROWS = 24
+
+
+def _uniforms(n_rows, T, seed, tile, it, salt: int):
+    """U[0, 1) rows from a counter-based hash RNG.
+
+    Stateless: every value is lowbias32(seed, tile, iteration, draw-site
+    salt, row, lane) — the in-kernel analogue of the renderer's keyed
+    threefry streams (no mutable PRNG state, bitwise reproducible, and runs
+    identically under the TPU interpreter, unlike pltpu.prng_* which the
+    interpreter stubs out). Two xor-multiply rounds give full avalanche;
+    mantissa-fill bit trick converts to [0, 1).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, T), 1)
+    row = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, T), 0)
+    x = (seed.astype(jnp.uint32)
+         + lane * jnp.uint32(0x9E3779B1)
+         + row * jnp.uint32(0x85EBCA77)
+         + it.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
+         + tile.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
+         + jnp.uint32(salt * 0x165667B1))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return pltpu.bitcast((x >> 9) | jnp.uint32(0x3F800000),
+                         jnp.float32) - 1.0
+
+
+def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
+            out_ref, tc_ref, sf_ref, *, cfg):
+    """One tile: T per-pixel slots, each tracing cfg.spp full paths."""
+    T = cfg.T
+    SB = cfg.SB
+    C = cfg.C
+    t_min = cfg.t_min
+    spp = float(cfg.spp)
+
+    seed = seed_ref[0, 0]
+    tile = pl.program_id(0)
+
+    px_i = pixf_ref[0, 0:1, :]
+    px_j = pixf_ref[0, 1:2, :]
+    valid = pixf_ref[0, 2:3, :] > 0.0
+
+    # camera scalars (traced values read once)
+    def cam(k):
+        return cam_ref[0, k]
+
+    c_ox, c_oy, c_oz = cam(CAM_OX), cam(CAM_OY), cam(CAM_OZ)
+    c_llx, c_lly, c_llz = cam(CAM_LLX), cam(CAM_LLY), cam(CAM_LLZ)
+    c_hx, c_hy, c_hz = cam(CAM_HX), cam(CAM_HY), cam(CAM_HZ)
+    c_vx, c_vy, c_vz = cam(CAM_VX), cam(CAM_VY), cam(CAM_VZ)
+    c_ux, c_uy, c_uz = cam(CAM_UX), cam(CAM_UY), cam(CAM_UZ)
+    c_vvx, c_vvy, c_vvz = cam(CAM_WX), cam(CAM_WY), cam(CAM_WZ)
+    c_lens, c_t0, c_t1 = cam(CAM_LENS), cam(CAM_T0), cam(CAM_T1)
+
+    def gen_rays(it):
+        """Fresh jittered camera rays for every lane (camera.h:36-50)."""
+        u = _uniforms(8, T, seed, tile, it, salt=1)
+        s = (px_i + u[0:1]) * (1.0 / cfg.nx)
+        t = (px_j + u[1:2]) * (1.0 / cfg.ny)
+        time = c_t0 + u[2:3] * (c_t1 - c_t0)
+        if cfg.lens:
+            r = c_lens * jnp.sqrt(u[3:4])
+            phi = (2.0 * math.pi) * u[4:5]
+            rdx = r * jnp.cos(phi)
+            rdy = r * jnp.sin(phi)
+            offx = c_ux * rdx + c_vvx * rdy
+            offy = c_uy * rdx + c_vvy * rdy
+            offz = c_uz * rdx + c_vvz * rdy
+        else:
+            offx = offy = offz = jnp.zeros((1, T), jnp.float32)
+        ox = c_ox + offx
+        oy = c_oy + offy
+        oz = c_oz + offz
+        dx = c_llx + s * c_hx + t * c_vx - ox
+        dy = c_lly + s * c_hy + t * c_vy - oy
+        dz = c_llz + s * c_hz + t * c_vz - oz
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        return ox, oy, oz, dx * inv, dy * inv, dz * inv, time
+
+    # ---- init ----
+    ox0, oy0, oz0, dx0, dy0, dz0, tm0 = gen_rays(jnp.int32(-1))
+    sf_ref[R_OX:R_OX + 1, :] = ox0
+    sf_ref[R_OY:R_OY + 1, :] = oy0
+    sf_ref[R_OZ:R_OZ + 1, :] = oz0
+    sf_ref[R_DX:R_DX + 1, :] = dx0
+    sf_ref[R_DY:R_DY + 1, :] = dy0
+    sf_ref[R_DZ:R_DZ + 1, :] = dz0
+    sf_ref[R_TIME:R_TIME + 1, :] = tm0
+    one = jnp.ones((1, T), jnp.float32)
+    zero = jnp.zeros((1, T), jnp.float32)
+    for r in (R_TPX, R_TPY, R_TPZ):
+        sf_ref[r:r + 1, :] = one
+    for r in (R_RX, R_RY, R_RZ, R_AX, R_AY, R_AZ, R_SEGS, R_DEPTH, R_ITERS):
+        sf_ref[r:r + 1, :] = zero
+    sf_ref[R_DONE:R_DONE + 1, :] = jnp.where(valid, 0.0, spp)
+
+    def body(carry):
+        it, _ = carry
+        ox = sf_ref[R_OX:R_OX + 1, :]
+        oy = sf_ref[R_OY:R_OY + 1, :]
+        oz = sf_ref[R_OZ:R_OZ + 1, :]
+        dx = sf_ref[R_DX:R_DX + 1, :]
+        dy = sf_ref[R_DY:R_DY + 1, :]
+        dz = sf_ref[R_DZ:R_DZ + 1, :]
+        time = sf_ref[R_TIME:R_TIME + 1, :]
+        tpx = sf_ref[R_TPX:R_TPX + 1, :]
+        tpy = sf_ref[R_TPY:R_TPY + 1, :]
+        tpz = sf_ref[R_TPZ:R_TPZ + 1, :]
+        rx = sf_ref[R_RX:R_RX + 1, :]
+        ry = sf_ref[R_RY:R_RY + 1, :]
+        rz = sf_ref[R_RZ:R_RZ + 1, :]
+        depth = sf_ref[R_DEPTH:R_DEPTH + 1, :]
+        done = sf_ref[R_DONE:R_DONE + 1, :]
+
+        active = done < spp
+        sf_ref[R_SEGS:R_SEGS + 1, :] = (sf_ref[R_SEGS:R_SEGS + 1, :]
+                                        + jnp.where(active, 1.0, 0.0))
+
+        # ---- cluster-culled sphere intersection (a = 1, unit dirs) ----
+        idx_ = 1.0 / dx
+        idy_ = 1.0 / dy
+        idz_ = 1.0 / dz
+        for c in range(C):
+            tx0 = (clus_ref[c, K_MINX] - ox) * idx_
+            tx1 = (clus_ref[c, K_MAXX] - ox) * idx_
+            ty0 = (clus_ref[c, K_MINY] - oy) * idy_
+            ty1 = (clus_ref[c, K_MAXY] - oy) * idy_
+            tz0 = (clus_ref[c, K_MINZ] - oz) * idz_
+            tz1 = (clus_ref[c, K_MAXZ] - oz) * idz_
+            tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                          jnp.minimum(ty0, ty1)),
+                              jnp.maximum(jnp.minimum(tz0, tz1), t_min))
+            thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1))
+            amask = (tlo <= thi) & active
+            any_hit = jnp.any(amask)
+            lo = c * SB
+
+            @pl.when(any_hit)
+            def _(lo=lo):
+                cx = sph_ref[lo:lo + SB, C_CX:C_CX + 1]
+                cy = sph_ref[lo:lo + SB, C_CY:C_CY + 1]
+                cz = sph_ref[lo:lo + SB, C_CZ:C_CZ + 1]
+                if cfg.moving:
+                    frac = ((time - sph_ref[lo:lo + SB, C_T0:C_T0 + 1])
+                            * sph_ref[lo:lo + SB, C_IDT:C_IDT + 1])
+                    cx = cx + frac * sph_ref[lo:lo + SB, C_DCX:C_DCX + 1]
+                    cy = cy + frac * sph_ref[lo:lo + SB, C_DCY:C_DCY + 1]
+                    cz = cz + frac * sph_ref[lo:lo + SB, C_DCZ:C_DCZ + 1]
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                b = ocx * dx + ocy * dy + ocz * dz
+                cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                      - sph_ref[lo:lo + SB, C_R2:C_R2 + 1])
+                disc = b * b - cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                tn = -b - sq
+                tc = jnp.where(tn > t_min, tn, -b + sq)
+                ok = ((disc > 0.0) & (tc > t_min)
+                      & (sph_ref[lo:lo + SB, C_ACT:C_ACT + 1] > 0.0))
+                tc_ref[lo:lo + SB, :] = jnp.where(ok, tc, BIG)
+
+            @pl.when(jnp.logical_not(any_hit))
+            def _(lo=lo):
+                tc_ref[lo:lo + SB, :] = jnp.full((SB, T), BIG, jnp.float32)
+
+        tc_all = tc_ref[...]
+        best_t = jnp.min(tc_all, axis=0, keepdims=True)      # (1, T)
+        hit = best_t < _HIT_CUT
+
+        # ---- one-hot MXU attribute extraction ----
+        maskf = ((tc_all == best_t) & hit).astype(jnp.float32)
+        attrs = jax.lax.dot_general(
+            attr_ref[...], maskf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (16, T)
+
+        def at(r):
+            return attrs[r:r + 1, :]
+
+        # ---- hit point / normal ((p - c(t)) / r, sphere.h:56-66) ----
+        px_ = ox + best_t * dx
+        py_ = oy + best_t * dy
+        pz_ = oz + best_t * dz
+        scx = at(A_CX)
+        scy = at(A_CY)
+        scz = at(A_CZ)
+        if cfg.moving:
+            frac = (time - at(A_T0)) * at(A_IDT)
+            scx = scx + frac * at(A_DCX)
+            scy = scy + frac * at(A_DCY)
+            scz = scz + frac * at(A_DCZ)
+        rinv = at(A_RINV)
+        nx_ = (px_ - scx) * rinv
+        ny_ = (py_ - scy) * rinv
+        nz_ = (pz_ - scz) * rinv
+
+        mtype = at(A_MTYPE)
+        albx = at(A_ALBX)
+        alby = at(A_ALBY)
+        albz = at(A_ALBZ)
+
+        u = _uniforms(8, T, seed, tile, it, salt=2)
+
+        # ---- lambertian: cosine sample about the normal ----
+        # (pdf == scattering_pdf with no lights list, so weight == albedo;
+        # material.h:77-122 + pdf.h:15-33 degenerate mixture)
+        r2 = u[1:2]
+        z = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+        sq_ = jnp.sqrt(r2)
+        phi = (2.0 * math.pi) * u[0:1]
+        lx_t = jnp.cos(phi) * sq_
+        ly_t = jnp.sin(phi) * sq_
+        # ONB from w = n (onb.h:32-38), branchless per-lane
+        bigx = jnp.abs(nx_) > 0.9
+        vx = jnp.where(bigx, -nz_, jnp.zeros_like(nx_))
+        vy = jnp.where(bigx, jnp.zeros_like(nx_), nz_)
+        vz = jnp.where(bigx, nx_, -ny_)
+        vinv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz + 1e-30)
+        vx = vx * vinv
+        vy = vy * vinv
+        vz = vz * vinv
+        ux_ = ny_ * vz - nz_ * vy
+        uy_ = nz_ * vx - nx_ * vz
+        uz_ = nx_ * vy - ny_ * vx
+        lamx = lx_t * ux_ + ly_t * vx + z * nx_
+        lamy = lx_t * uy_ + ly_t * vy + z * ny_
+        lamz = lx_t * uz_ + ly_t * vz + z * nz_
+        lam_ok = z > 0.0
+
+        # ---- mirror reflection (shared by metal and dielectric) ----
+        ddn = dx * nx_ + dy * ny_ + dz * nz_
+        rfx = dx - 2.0 * ddn * nx_
+        rfy = dy - 2.0 * ddn * ny_
+        rfz = dz - 2.0 * ddn * nz_
+
+        if cfg.has_metal:
+            # metal: fuzz * point-in-unit-ball (material.h:124-140)
+            zb = 1.0 - 2.0 * u[2:3]
+            rb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
+            phib = (2.0 * math.pi) * u[3:4]
+            radb = jnp.cbrt(u[4:5])
+            fz = at(A_FUZZ)
+            mex = rfx + fz * (rb * jnp.cos(phib) * radb)
+            mey = rfy + fz * (rb * jnp.sin(phib) * radb)
+            mez = rfz + fz * (zb * radb)
+        else:
+            mex, mey, mez = rfx, rfy, rfz
+
+        if cfg.has_dielectric:
+            # dielectric with the corrected exit cosine (material.h:142-225)
+            ridx = at(A_RIDX)
+            inside = ddn > 0.0
+            sgn = jnp.where(inside, -1.0, 1.0)
+            onx = sgn * nx_
+            ony = sgn * ny_
+            onz = sgn * nz_
+            nint = jnp.where(inside, ridx, 1.0 / jnp.maximum(ridx, 1e-6))
+            cos_exit2 = 1.0 - ridx * ridx * (1.0 - ddn * ddn)
+            cos_exit = jnp.sqrt(jnp.maximum(cos_exit2, 0.0))
+            cosine = jnp.where(inside, cos_exit, -ddn)
+            dt = dx * onx + dy * ony + dz * onz
+            disc_r = 1.0 - nint * nint * (1.0 - dt * dt)
+            canr = disc_r > 0.0
+            sqr = jnp.sqrt(jnp.maximum(disc_r, 0.0))
+            refx = nint * (dx - onx * dt) - onx * sqr
+            refy = nint * (dy - ony * dt) - ony * sqr
+            refz = nint * (dz - onz * dt) - onz * sqr
+            r0 = (1.0 - ridx) / (1.0 + ridx)
+            r0 = r0 * r0
+            omc = 1.0 - cosine
+            omc2 = omc * omc
+            schl = r0 + (1.0 - r0) * omc2 * omc2 * omc
+            rp = jnp.where(canr, schl, 1.0)
+            coin = u[5:6] < rp
+            dex = jnp.where(coin, rfx, refx)
+            dey = jnp.where(coin, rfy, refy)
+            dez = jnp.where(coin, rfz, refz)
+        else:
+            dex, dey, dez = rfx, rfy, rfz
+
+        # ---- select by material type ----
+        is_lam = mtype < 0.5
+        is_metal = (mtype > 0.5) & (mtype < 1.5)
+        is_diel = mtype > 1.5
+        ndx = jnp.where(is_lam, lamx, jnp.where(is_metal, mex, dex))
+        ndy = jnp.where(is_lam, lamy, jnp.where(is_metal, mey, dey))
+        ndz = jnp.where(is_lam, lamz, jnp.where(is_metal, mez, dez))
+        ninv = jax.lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz + 1e-30)
+        ndx = ndx * ninv
+        ndy = ndy * ninv
+        ndz = ndz * ninv
+        wx = jnp.where(is_diel, 1.0, albx)
+        wy = jnp.where(is_diel, 1.0, alby)
+        wz = jnp.where(is_diel, 1.0, albz)
+        scatter_ok = jnp.where(is_lam, lam_ok, jnp.ones_like(lam_ok))
+
+        # ---- background on miss (RayTracingWeekend.cpp:143-158) ----
+        miss = active & jnp.logical_not(hit)
+        if cfg.bg_gradient:
+            tbg = 0.5 * (dy + 1.0)
+            bgx = (1.0 - tbg) + tbg * 0.5
+            bgy = (1.0 - tbg) + tbg * 0.7
+            bgz = jnp.ones_like(tbg)  # (1-t) + t*1.0
+            rx = rx + jnp.where(miss, tpx * bgx, 0.0)
+            ry = ry + jnp.where(miss, tpy * bgy, 0.0)
+            rz = rz + jnp.where(miss, tpz * bgz, 0.0)
+
+        # ---- throughput update + termination ----
+        live = active & hit
+        tpx = jnp.where(live, tpx * wx, tpx)
+        tpy = jnp.where(live, tpy * wy, tpy)
+        tpz = jnp.where(live, tpz * wz, tpz)
+        tpmax = jnp.maximum(tpx, jnp.maximum(tpy, tpz))
+        alive = live & scatter_ok & (tpmax > 0.0)
+        if cfg.rr_depth is not None:
+            do_rr = alive & (depth >= float(cfg.rr_depth))
+            p_cont = jnp.clip(tpmax, 0.05, 0.95)
+            survive = u[6:7] < p_cont
+            keep = do_rr & survive
+            inv_p = 1.0 / p_cont
+            tpx = jnp.where(keep, tpx * inv_p, tpx)
+            tpy = jnp.where(keep, tpy * inv_p, tpy)
+            tpz = jnp.where(keep, tpz * inv_p, tpz)
+            alive = alive & (jnp.logical_not(do_rr) | survive)
+        depth = depth + 1.0
+        alive = alive & (depth < float(cfg.max_depth))
+
+        finished = active & jnp.logical_not(alive)
+        sf_ref[R_AX:R_AX + 1, :] = (sf_ref[R_AX:R_AX + 1, :]
+                                    + jnp.where(finished, rx, 0.0))
+        sf_ref[R_AY:R_AY + 1, :] = (sf_ref[R_AY:R_AY + 1, :]
+                                    + jnp.where(finished, ry, 0.0))
+        sf_ref[R_AZ:R_AZ + 1, :] = (sf_ref[R_AZ:R_AZ + 1, :]
+                                    + jnp.where(finished, rz, 0.0))
+        done = done + jnp.where(finished, 1.0, 0.0)
+
+        # ---- regenerate finished slots' next sample ----
+        gox, goy, goz, gdx, gdy, gdz, gtm = gen_rays(it)
+        sf_ref[R_OX:R_OX + 1, :] = jnp.where(alive, px_, gox)
+        sf_ref[R_OY:R_OY + 1, :] = jnp.where(alive, py_, goy)
+        sf_ref[R_OZ:R_OZ + 1, :] = jnp.where(alive, pz_, goz)
+        sf_ref[R_DX:R_DX + 1, :] = jnp.where(alive, ndx, gdx)
+        sf_ref[R_DY:R_DY + 1, :] = jnp.where(alive, ndy, gdy)
+        sf_ref[R_DZ:R_DZ + 1, :] = jnp.where(alive, ndz, gdz)
+        sf_ref[R_TIME:R_TIME + 1, :] = jnp.where(alive, time, gtm)
+        sf_ref[R_TPX:R_TPX + 1, :] = jnp.where(alive, tpx, 1.0)
+        sf_ref[R_TPY:R_TPY + 1, :] = jnp.where(alive, tpy, 1.0)
+        sf_ref[R_TPZ:R_TPZ + 1, :] = jnp.where(alive, tpz, 1.0)
+        sf_ref[R_RX:R_RX + 1, :] = jnp.where(alive, rx, 0.0)
+        sf_ref[R_RY:R_RY + 1, :] = jnp.where(alive, ry, 0.0)
+        sf_ref[R_RZ:R_RZ + 1, :] = jnp.where(alive, rz, 0.0)
+        sf_ref[R_DEPTH:R_DEPTH + 1, :] = jnp.where(alive, depth, 0.0)
+        sf_ref[R_DONE:R_DONE + 1, :] = done
+        sf_ref[R_ITERS:R_ITERS + 1, :] = sf_ref[R_ITERS:R_ITERS + 1, :] + 1.0
+
+        return it + 1, jnp.any(done < spp)
+
+    jax.lax.while_loop(lambda c: c[1], body,
+                       (jnp.zeros((), jnp.int32), jnp.any(valid)))
+
+    out_ref[0, 0:1, :] = sf_ref[R_AX:R_AX + 1, :]
+    out_ref[0, 1:2, :] = sf_ref[R_AY:R_AY + 1, :]
+    out_ref[0, 2:3, :] = sf_ref[R_AZ:R_AZ + 1, :]
+    out_ref[0, 3:4, :] = sf_ref[R_SEGS:R_SEGS + 1, :]
+    out_ref[0, 4:5, :] = sf_ref[R_ITERS:R_ITERS + 1, :]
+    out_ref[0, 5:8, :] = jnp.zeros((3, T), jnp.float32)
+
+
+class _Cfg:
+    """Static kernel configuration (hashable closure for jit)."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+        self._key = tuple(sorted(kw.items()))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _Cfg) and self._key == other._key
+
+
+def supports_scene(scene: st.Scene) -> bool:
+    """True when the megakernel covers this scene: spheres only, no lights
+    (MIS), constant textures, shaded render type."""
+    return (scene.rects.count() == 0
+            and scene.media.count() == 0
+            and scene.lights.num == 0
+            and not scene.has_noise_tex
+            and not scene.has_image_tex
+            and not scene.has_checker_tex
+            and not scene.needs_legacy_textures
+            and scene.render_type == st.RENDER_SHADED
+            and scene.background == st.BG_GRADIENT
+            and not scene.has_isotropic
+            and not scene.has_lights_mat
+            and scene.spheres.count() > 0)
+
+
+def _morton_order(centers: np.ndarray) -> np.ndarray:
+    """Sort order by 3D Morton code of quantized centers (10 bits/axis)."""
+    lo = centers.min(axis=0)
+    span = np.maximum(centers.max(axis=0) - lo, 1e-9)
+    q = np.clip(((centers - lo) / span * 1023.0).astype(np.uint64), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x30000FF)
+        x = (x | (x << 8)) & np.uint64(0x300F00F)
+        x = (x | (x << 4)) & np.uint64(0x30C30C3)
+        x = (x | (x << 2)) & np.uint64(0x9249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+        | (spread(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
+def build_tables(scene: st.Scene, SB: int = 64):
+    """Host-side (eager) packing: Morton-sorted sphere tables + cluster
+    AABBs + camera vector. Returns (sph_tab (S,128), attr_tab (16,S),
+    clus_tab (C,128), cam_vec (1,128), meta dict)."""
+    sph = scene.spheres
+    act = np.asarray(sph.active)
+    c0 = np.asarray(sph.center0, np.float32)
+    c1 = np.asarray(sph.center1, np.float32)
+    t0 = np.asarray(sph.time0, np.float32)
+    t1 = np.asarray(sph.time1, np.float32)
+    rad = np.asarray(sph.radius, np.float32)
+    mat = np.asarray(sph.mat)
+
+    live = np.nonzero(act)[0]
+    order = live[_morton_order(c0[live])]
+    n = order.size
+    S = max(SB, ((n + SB - 1) // SB) * SB)
+    C = S // SB
+
+    def pad(x, fill=0.0):
+        out = np.full((S,) + x.shape[1:], fill, x.dtype)
+        out[:n] = x[order]
+        return out
+
+    c0p, c1p = pad(c0), pad(c1)
+    t0p, t1p = pad(t0), pad(t1, 1.0)
+    radp = pad(rad)
+    actp = np.zeros((S,), np.float32)
+    actp[:n] = 1.0
+    dt = t1p - t0p
+    idt = np.where(dt != 0, 1.0 / np.where(dt != 0, dt, 1.0), 0.0)
+    dc = c1p - c0p
+
+    sph_tab = np.zeros((S, SPH_LANES), np.float32)
+    for lane, v in ((C_CX, c0p[:, 0]), (C_CY, c0p[:, 1]), (C_CZ, c0p[:, 2]),
+                    (C_DCX, dc[:, 0]), (C_DCY, dc[:, 1]), (C_DCZ, dc[:, 2]),
+                    (C_T0, t0p), (C_IDT, idt), (C_R2, radp ** 2),
+                    (C_ACT, actp)):
+        sph_tab[:, lane] = v
+
+    # shading attributes via material/texture tables (gathers are fine here:
+    # eager, once per scene)
+    mats = scene.materials
+    tex = scene.textures
+    matp = pad(mat.astype(np.int64))
+    mtype = np.asarray(mats.mtype)[matp]
+    ti = np.asarray(mats.tex)[matp]
+    alb = np.asarray(tex.color, np.float32)[ti]
+    fuzz = np.asarray(mats.fuzz, np.float32)[matp]
+    ridx = np.asarray(mats.ref_idx, np.float32)[matp]
+    rinv = np.where(radp != 0, 1.0 / np.where(radp != 0, radp, 1.0), 0.0)
+
+    attr_tab = np.zeros((A_ROWS, S), np.float32)
+    for row, v in ((A_CX, c0p[:, 0]), (A_CY, c0p[:, 1]), (A_CZ, c0p[:, 2]),
+                   (A_DCX, dc[:, 0]), (A_DCY, dc[:, 1]), (A_DCZ, dc[:, 2]),
+                   (A_T0, t0p), (A_IDT, idt), (A_RINV, rinv),
+                   (A_MTYPE, mtype.astype(np.float32)),
+                   (A_ALBX, alb[:, 0]), (A_ALBY, alb[:, 1]),
+                   (A_ALBZ, alb[:, 2]), (A_FUZZ, fuzz), (A_RIDX, ridx)):
+        attr_tab[row] = v
+
+    # cluster AABBs over the motion-swept spheres
+    absr = np.abs(radp)
+    los = np.minimum(c0p, c1p) - absr[:, None]
+    his = np.maximum(c0p, c1p) + absr[:, None]
+    los = np.where(actp[:, None] > 0, los, np.inf)
+    his = np.where(actp[:, None] > 0, his, -np.inf)
+    clus_tab = np.zeros((C, CLUS_LANES), np.float32)
+    for c in range(C):
+        sl = slice(c * SB, (c + 1) * SB)
+        clus_tab[c, K_MINX:K_MINZ + 1] = los[sl].min(axis=0)
+        clus_tab[c, K_MAXX:K_MAXZ + 1] = his[sl].max(axis=0)
+
+    cam = scene.camera
+    cam_vec = np.zeros((1, 128), np.float32)
+    for lane, v in ((CAM_OX, cam.origin), (CAM_LLX, cam.lower_left_corner),
+                    (CAM_HX, cam.horizontal), (CAM_VX, cam.vertical),
+                    (CAM_UX, cam.u), (CAM_WX, cam.v)):
+        cam_vec[0, lane:lane + 3] = np.asarray(v, np.float32)
+    cam_vec[0, CAM_LENS] = float(cam.lens_radius)
+    cam_vec[0, CAM_T0] = float(cam.time0)
+    cam_vec[0, CAM_T1] = float(cam.time1)
+
+    meta = dict(S=S, C=C, SB=SB,
+                moving=bool(scene.has_moving_spheres),
+                lens=float(cam.lens_radius) > 0.0,
+                has_metal=bool(scene.has_metal),
+                has_dielectric=bool(scene.has_dielectric),
+                bg_gradient=scene.background == st.BG_GRADIENT)
+    return (jnp.asarray(sph_tab), jnp.asarray(attr_tab),
+            jnp.asarray(clus_tab), jnp.asarray(cam_vec), meta)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_tiles", "interpret"))
+def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, seed, *,
+               cfg: _Cfg, n_tiles: int, interpret: bool):
+    T = cfg.T
+    S = cfg.S
+    kern = functools.partial(_kernel, cfg=cfg)
+    grid = (n_tiles,)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4, T), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, SPH_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A_ROWS, S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.C, CLUS_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, T), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, T), jnp.float32),
+            pltpu.VMEM((STATE_ROWS, T), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
+        # The TPU-semantics interpreter (not the generic one) implements
+        # pltpu.prng_*, so CPU tests can run the full kernel.
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(pixf.reshape(n_tiles, 4, T), cam_vec, sph_tab, attr_tab, clus_tab,
+      seed)
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _pixel_layout(nx: int, ny: int, T: int):
+    """Block-linear pixel order split into T-lane tiles. Returns
+    (pixf (n_tiles, 4, T) f32 rows [i, j, valid, pad], inverse perm)."""
+    from .integrator import _block_linear_order
+
+    n_pix = nx * ny
+    order, inv = _block_linear_order(nx, ny)
+    n_tiles = -(-n_pix // T)
+    n_pad = n_tiles * T
+    order_p = np.pad(order, (0, n_pad - n_pix), constant_values=n_pix)
+    pixf = np.zeros((n_tiles, 4, T), np.float32)
+    valid = order_p < n_pix
+    safe = np.where(valid, order_p, 0)
+    pixf[:, 0, :] = (safe % nx).reshape(n_tiles, T)
+    pixf[:, 1, :] = (safe // nx).reshape(n_tiles, T)
+    pixf[:, 2, :] = valid.reshape(n_tiles, T).astype(np.float32)
+    return jnp.asarray(pixf), inv
+
+
+def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
+               max_depth: int = 50, rr_depth: int | None = 4,
+               T: int = 512, SB: int = 64, interpret: bool = False):
+    """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
+    segment count). Host-side prep is eager (concrete scene required)."""
+    assert supports_scene(scene), "scene not supported by the megakernel"
+    sph_tab, attr_tab, clus_tab, cam_vec, meta = build_tables(scene, SB)
+    pixf, inv = _pixel_layout(nx, ny, T)
+    n_tiles = pixf.shape[0]
+    cfg = _Cfg(T=T, SB=meta["SB"], C=meta["C"], S=meta["S"], nx=nx, ny=ny,
+               spp=spp, max_depth=max_depth, rr_depth=rr_depth,
+               t_min=0.001, moving=meta["moving"], lens=meta["lens"],
+               has_metal=meta["has_metal"],
+               has_dielectric=meta["has_dielectric"],
+               bg_gradient=meta["bg_gradient"])
+    seed = jax.random.randint(key, (1, 1), 0, np.int32(2 ** 31 - 1),
+                              dtype=jnp.int32)
+    out = _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, seed,
+                     cfg=cfg, n_tiles=n_tiles, interpret=interpret)
+    blocked = out[:, 0:3, :].transpose(0, 2, 1).reshape(n_tiles * T, 3)
+    image = blocked[jnp.asarray(inv)].reshape(ny, nx, 3)
+    segments = jnp.sum(out[:, 3, :])
+    return image, segments

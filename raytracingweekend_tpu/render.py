@@ -100,6 +100,19 @@ def render_chunk_tiled(scene: st.Scene, key, nx: int, ny: int,
                        n_slots=n_slots)
 
 
+def render_chunk_mega(scene: st.Scene, key, nx: int, ny: int,
+                      chunk_spp: int, max_depth: int = 100):
+    """Radiance sums via the fused Pallas megakernel (ops/megakernel.py) —
+    the fastest TPU path for sphere scenes without lights. Host-side table
+    prep is eager; on CPU/GPU backends the kernel runs under the TPU
+    interpreter (slow — for functional verification only).
+    Returns ((ny, nx, 3) sums, segment count)."""
+    from .ops import megakernel as mk
+    interp = jax.default_backend() in ("cpu", "gpu")
+    return mk.trace_mega(key, scene, nx, ny, chunk_spp, max_depth=max_depth,
+                         interpret=interp)
+
+
 @dataclass
 class RenderStats:
     """Per-render observability (SURVEY.md §5 metrics rebuild)."""
@@ -158,9 +171,10 @@ def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
     while done < cfg.spp:
         this = min(chunk, cfg.spp - done)
         t0 = time.perf_counter()
-        if cfg.loop_mode in ("regen", "tiled"):
-            chunk_fn = (render_chunk_regen if cfg.loop_mode == "regen"
-                        else render_chunk_tiled)
+        if cfg.loop_mode in ("regen", "tiled", "mega"):
+            chunk_fn = {"regen": render_chunk_regen,
+                        "tiled": render_chunk_tiled,
+                        "mega": render_chunk_mega}[cfg.loop_mode]
             part, segs = chunk_fn(
                 scene, jax.random.fold_in(key, launch), cfg.nx, cfg.ny, this,
                 cfg.max_depth)
@@ -228,10 +242,11 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="framebuffer checkpoint path; rerun to resume")
     p.add_argument("--mode", default="regen",
-                   choices=("regen", "tiled", "while", "scan"),
+                   choices=("regen", "tiled", "mega", "while", "scan"),
                    help="integrator loop: regen = global path regeneration, "
-                        "tiled = scatter-free per-pixel slots, while/scan = "
-                        "lockstep")
+                        "tiled = scatter-free per-pixel slots, mega = fused "
+                        "Pallas megakernel (sphere scenes w/o lights), "
+                        "while/scan = lockstep")
     p.add_argument("--stats", action="store_true",
                    help="report rays/s per launch")
     p.add_argument("--normals", action="store_true",

@@ -1,0 +1,78 @@
+"""Megakernel correctness vs the wavefront integrator (CPU, TPU-semantics
+interpreter — the same kernel code path that compiles for the real chip,
+including the counter-based RNG, which unlike pltpu.prng_* works identically
+interpreted and compiled)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracingweekend_tpu.models.scenes import make_scene
+from raytracingweekend_tpu.ops import megakernel as mk
+from raytracingweekend_tpu.render import render_chunk
+
+KEY = jax.random.key(7)
+
+
+def _blocks(a, n=8):
+    ny, nx, _ = a.shape
+    return a.reshape(n, ny // n, n, nx // n, 3).mean(axis=(1, 3))
+
+
+@pytest.mark.parametrize("name", ["dielectric", "random_balls"])
+def test_mega_matches_wavefront_statistically(name):
+    scene = make_scene(name, 1.0)
+    assert mk.supports_scene(scene)
+    nx = ny = 32
+    spp = 8
+    img, segs = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=20,
+                              T=128, SB=32 if name == "dielectric" else 64,
+                              interpret=True)
+    img = np.asarray(img) / spp
+    ref = np.asarray(render_chunk(scene, KEY, nx, ny, spp, 20)) / spp
+    assert float(segs) > nx * ny * spp  # at least one bounce per path
+    # Different RNG streams: agreement is statistical. 8x8-block means at
+    # this sample count sit ~0.03 rms apart; 0.2 catches real shading bugs
+    # (wrong material/normal/background) with huge margin.
+    np.testing.assert_allclose(img.mean(axis=(0, 1)), ref.mean(axis=(0, 1)),
+                               atol=0.03)
+    assert np.abs(_blocks(img) - _blocks(ref)).max() < 0.2
+
+
+def test_mega_deterministic_and_seed_sensitive():
+    scene = make_scene("dielectric", 1.0)
+    a, _ = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=8, T=128, SB=32,
+                         interpret=True)
+    b, _ = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=8, T=128, SB=32,
+                         interpret=True)
+    c, _ = mk.trace_mega(jax.random.key(99), scene, 16, 16, 4, max_depth=8,
+                         T=128, SB=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_supports_scene_gates():
+    assert not mk.supports_scene(make_scene("cornell_box", 1.0))
+    assert not mk.supports_scene(make_scene("two_perlin_spheres", 1.0))
+    assert mk.supports_scene(make_scene("random_balls", 1.0))
+
+
+def test_cluster_tables_cover_motion():
+    scene = make_scene("random_balls", 1.0)
+    sph_tab, attr_tab, clus_tab, cam_vec, meta = mk.build_tables(scene, 64)
+    S, C = meta["S"], meta["C"]
+    assert S % 64 == 0 and C == S // 64
+    sph = scene.spheres
+    act = np.asarray(sph.active)
+    c0 = np.asarray(sph.center0)[act]
+    c1 = np.asarray(sph.center1)[act]
+    r = np.abs(np.asarray(sph.radius)[act])
+    lo = np.minimum(c0, c1) - r[:, None]
+    hi = np.maximum(c0, c1) + r[:, None]
+    ct = np.asarray(clus_tab)
+    # every sphere's swept AABB is inside some cluster AABB
+    mins = ct[:, mk.K_MINX:mk.K_MINZ + 1]
+    maxs = ct[:, mk.K_MAXX:mk.K_MAXZ + 1]
+    covered = ((lo[:, None, :] >= mins[None] - 1e-5)
+               & (hi[:, None, :] <= maxs[None] + 1e-5)).all(-1).any(-1)
+    assert covered.all()
