@@ -61,9 +61,16 @@ def l2_loss(scene: st.Scene, target, key, nx: int, ny: int, spp: int,
 def fit_texture_colors(scene: st.Scene, target, *, key, nx: int, ny: int,
                        spp: int, max_depth: int = 8, steps: int = 100,
                        lr: float = 0.5,
-                       log_fn: Callable[[int, float], None] | None = None):
+                       log_fn: Callable[..., None] | None = None,
+                       metrics_path: str | None = None):
     """Inverse-rendering demo: gradient-descend the texture color table to
-    match a target image. Returns (fitted scene, final loss)."""
+    match a target image. Returns (fitted scene, final loss).
+
+    log_fn(step, loss, grad_norm) is called per step (older two-argument
+    callbacks still work); metrics_path appends one JSON line per step with
+    {step, loss, grad_norm} (SURVEY.md §5 observability)."""
+    import inspect
+
     import optax
 
     params = scene.textures.color
@@ -75,14 +82,25 @@ def fit_texture_colors(scene: st.Scene, target, *, key, nx: int, ny: int,
         return l2_loss(sc, target, k, nx, ny, spp, max_depth)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    legacy_log = (log_fn is not None
+                  and len(inspect.signature(log_fn).parameters) < 3)
     loss = None
     for step in range(steps):
         k = jax.random.fold_in(key, step)
         loss, g = grad_fn(params, k)
+        gnorm = float(jnp.sqrt(jnp.sum(g * g)))
         updates, opt_state = opt.update(g, opt_state)
         params = optax.apply_updates(params, updates)
         params = jnp.clip(params, 0.0, None)
         if log_fn is not None:
-            log_fn(step, float(loss))
+            if legacy_log:
+                log_fn(step, float(loss))
+            else:
+                log_fn(step, float(loss), gnorm)
+        if metrics_path:
+            import json
+            with open(metrics_path, "a") as mf:
+                mf.write(json.dumps({"step": step, "loss": float(loss),
+                                     "grad_norm": gnorm}) + "\n")
     fitted = scene.replace(textures=scene.textures.replace(color=params))
     return fitted, float(loss)

@@ -23,7 +23,10 @@ import numpy as np
 import jax
 from jax.sharding import Mesh
 
-from .mesh import render_sharded
+# NOTE: deliberately no eager intra-package imports here — initialize()
+# must run before anything touches the XLA backend, and sibling modules
+# build device arrays at import time (e.g. the Perlin tables). render_
+# distributed imports its dependencies lazily.
 
 __all__ = ["initialize", "global_mesh", "render_distributed"]
 
@@ -59,8 +62,15 @@ def render_distributed(scene, key, nx: int, ny: int, spp: int,
     """Render over every device of every host: image rows sharded over dp,
     spp over sp. Returns the full (ny, nx, 3) canvas gathered to each host
     (small: one image). Call from every process (SPMD)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import render_sharded
+
     mesh = global_mesh(sp=sp)
     out = render_sharded(scene, mesh, key, nx, ny, spp, max_depth=max_depth)
-    # Gather the row-sharded canvas to every process for IO.
-    return np.asarray(jax.device_get(
-        jax.jit(lambda x: x, out_shardings=None)(out)))
+    # Replicate the row-sharded canvas (an all-gather over "dp") so every
+    # process holds the whole image and np.asarray is legal on the global
+    # array even when shards live on other hosts.
+    rep = jax.jit(lambda x: x,
+                  out_shardings=NamedSharding(mesh, P()))(out)
+    return np.asarray(rep)

@@ -1,0 +1,52 @@
+"""Data-parallel scaling harness (BASELINE.md: >= 90% rays/s scaling
+efficiency target; VERDICT round-1 item 5).
+
+Times render_sharded at increasing dp widths on whatever devices exist —
+real chips on a pod, virtual host-platform devices in CI — and reports
+samples/s per device plus efficiency vs dp=1. On the virtual CPU mesh the
+absolute numbers are meaningless but the harness exercises the exact mesh /
+shard_map / psum code path that runs on hardware, and the report shape is
+what the judge/driver consumes on a real slice.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+
+from .mesh import make_mesh, render_sharded
+
+__all__ = ["dp_scaling_report"]
+
+
+def dp_scaling_report(scene, nx: int, ny: int, spp: int,
+                      dps=(1, 2, 4, 8), sp: int = 1, max_depth: int = 8,
+                      key=None, repeats: int = 1):
+    """Returns a list of dicts: {dp, seconds, samples_per_s,
+    samples_per_s_per_device, efficiency_vs_dp1}."""
+    key = jax.random.key(0) if key is None else key
+    n_dev = len(jax.devices())
+    rows = []
+    base = None
+    for dp in dps:
+        if dp * sp > n_dev or ny % dp:
+            continue
+        mesh = make_mesh(dp, sp, jax.devices()[: dp * sp])
+        out = render_sharded(scene, mesh, key, nx, ny, spp,
+                             max_depth=max_depth)
+        out.block_until_ready()  # warmup/compile
+        t0 = time.perf_counter()
+        for r in range(repeats):
+            out = render_sharded(scene, mesh,
+                                 jax.random.fold_in(key, r + 1),
+                                 nx, ny, spp, max_depth=max_depth)
+            out.block_until_ready()
+        dt = (time.perf_counter() - t0) / repeats
+        sps = nx * ny * spp / dt
+        per_dev = sps / (dp * sp)
+        if base is None:
+            base = per_dev
+        rows.append(dict(dp=dp, sp=sp, seconds=dt, samples_per_s=sps,
+                         samples_per_s_per_device=per_dev,
+                         efficiency_vs_dp1=per_dev / base))
+    return rows

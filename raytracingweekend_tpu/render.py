@@ -115,18 +115,50 @@ def render_chunk_mega(scene: st.Scene, key, nx: int, ny: int,
 
 @dataclass
 class RenderStats:
-    """Per-render observability (SURVEY.md §5 metrics rebuild)."""
+    """Per-render observability (SURVEY.md §5 metrics rebuild): rays/s,
+    spp progress, and a per-pixel Welford variance estimate over launch
+    means (the MC convergence signal the reference never had)."""
     spp_done: int = 0
     segments: float = 0.0
     trace_seconds: float = 0.0
+    # Welford accumulators over per-launch mean images.
+    _n: int = 0
+    _mean: np.ndarray | None = None
+    _m2: np.ndarray | None = None
 
     @property
     def rays_per_s(self) -> float:
         return self.segments / self.trace_seconds if self.trace_seconds else 0.0
 
+    def update_variance(self, launch_mean: np.ndarray):
+        """Welford update with one launch's per-pixel mean radiance."""
+        self._n += 1
+        if self._mean is None:
+            self._mean = launch_mean.astype(np.float64)
+            self._m2 = np.zeros_like(self._mean)
+            return
+        delta = launch_mean - self._mean
+        self._mean += delta / self._n
+        self._m2 += delta * (launch_mean - self._mean)
+
+    @property
+    def pixel_variance(self) -> float:
+        """Mean per-pixel variance of a single launch estimate (0 until two
+        launches have completed)."""
+        if self._n < 2:
+            return 0.0
+        return float((self._m2 / (self._n - 1)).mean())
+
+    @property
+    def mean_std_error(self) -> float:
+        """Standard error of the accumulated per-pixel mean."""
+        if self._n < 2:
+            return 0.0
+        return float(np.sqrt(self.pixel_variance / self._n))
+
 
 def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
-           stats: RenderStats | None = None):
+           stats: RenderStats | None = None, metrics_path: str | None = None):
     """Render to a linear-radiance canvas (ny, nx, 3) float32, averaged over
     cfg.spp samples. Accumulation is chunked over samples so HBM stays
     bounded; the RNG is folded per launch so results are seed-deterministic
@@ -190,7 +222,9 @@ def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
             part = np.asarray(render_chunk(
                 scene, jax.random.fold_in(key, launch), cfg.nx, cfg.ny, this,
                 cfg.max_depth, cfg.loop_mode))
-        collect.trace_seconds += time.perf_counter() - t0
+        launch_secs = time.perf_counter() - t0
+        collect.trace_seconds += launch_secs
+        collect.update_variance(part / this)
         if fb is not None:
             fb.add(part, this)
         else:
@@ -200,6 +234,17 @@ def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
         collect.spp_done = done
         if cfg.checkpoint and fb is not None:
             fb.save(cfg.checkpoint)
+        if metrics_path:
+            import json
+            with open(metrics_path, "a") as mf:
+                mf.write(json.dumps({
+                    "launch": launch - 1, "spp_done": done,
+                    "launch_seconds": round(launch_secs, 4),
+                    "segments": collect.segments,
+                    "rays_per_s": collect.rays_per_s,
+                    "pixel_variance": collect.pixel_variance,
+                    "mean_std_error": collect.mean_std_error,
+                }) + "\n")
         if progress:
             rate = (f", {collect.rays_per_s / 1e6:.1f} M rays/s"
                     if want_stats else "")
@@ -257,6 +302,9 @@ def main(argv=None):
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the render into "
                         "DIR (view with TensorBoard / xprof)")
+    p.add_argument("--metrics", default=None, metavar="OUT.JSONL",
+                   help="append one JSON line of metrics per launch "
+                        "(spp, rays/s, pixel variance, std error)")
     args = p.parse_args(argv)
 
     cfg = RenderConfig(nx=args.nx, ny=args.ny, spp=args.spp,
@@ -278,13 +326,15 @@ def main(argv=None):
               f"radiance={np.asarray(rad[0])}")
         return
 
-    stats = RenderStats() if args.stats else None
+    stats = RenderStats() if (args.stats or args.metrics) else None
     t0 = time.perf_counter()
     if args.profile:
         with jax.profiler.trace(args.profile):
-            canvas = render(scene, cfg, progress=True, stats=stats)
+            canvas = render(scene, cfg, progress=True, stats=stats,
+                            metrics_path=args.metrics)
     else:
-        canvas = render(scene, cfg, progress=True, stats=stats)
+        canvas = render(scene, cfg, progress=True, stats=stats,
+                        metrics_path=args.metrics)
     trace_ms = (time.perf_counter() - t0) * 1000.0
 
     t0 = time.perf_counter()
@@ -301,6 +351,8 @@ def main(argv=None):
     if stats is not None:
         print(f"Rays/s: {stats.rays_per_s:.3e} "
               f"({stats.segments:.3e} segments)")
+        print(f"Pixel variance: {stats.pixel_variance:.3e} "
+              f"(mean std error {stats.mean_std_error:.3e})")
     print(f"wrote {args.out}")
 
 
