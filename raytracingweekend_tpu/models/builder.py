@@ -30,6 +30,69 @@ def _pad_to(n: int, multiple: int) -> int:
     return max(multiple, ((n + multiple - 1) // multiple) * multiple)
 
 
+@dataclass(frozen=True)
+class Transform:
+    """Rigid y-rotation + translation — the closure of the reference's
+    translate / rotate_y instancing wrappers (hittable.h:269-416) under
+    composition, so arbitrarily nested wrapper chains bake down to ONE
+    (cos, sin, offset) column set per primitive.
+
+    World mapping: x_world = Ry(theta) @ x_object + offset, with the
+    reference's rotation convention (hittable.h:390-397):
+    Ry = [[c, 0, s], [0, 1, 0], [-s, 0, c]].
+
+    Compose with `outer @ inner` (matrix-like order: the outer wrapper is
+    applied last, i.e. translate(rotate_y(obj)) == T.translate(o) @
+    T.rotate_y(a) applied to obj).
+    """
+    cos_t: float = 1.0
+    sin_t: float = 0.0
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    @staticmethod
+    def rotate_y(degrees: float) -> "Transform":
+        r = math.radians(degrees)
+        return Transform(math.cos(r), math.sin(r), (0.0, 0.0, 0.0))
+
+    @staticmethod
+    def translate(offset) -> "Transform":
+        ox, oy, oz = (float(v) for v in offset)
+        return Transform(1.0, 0.0, (ox, oy, oz))
+
+    @staticmethod
+    def identity() -> "Transform":
+        return Transform()
+
+    def apply(self, p) -> Tuple[float, float, float]:
+        """Map an object-space point to world space."""
+        x, y, z = (float(v) for v in p)
+        c, s = self.cos_t, self.sin_t
+        return (c * x + s * z + self.offset[0],
+                y + self.offset[1],
+                -s * x + c * z + self.offset[2])
+
+    def __matmul__(self, inner: "Transform") -> "Transform":
+        """outer @ inner: rotations add, the inner offset is rotated into
+        the outer frame."""
+        c = self.cos_t * inner.cos_t - self.sin_t * inner.sin_t
+        s = self.sin_t * inner.cos_t + self.cos_t * inner.sin_t
+        off = self.apply(inner.offset)
+        return Transform(c, s, off)
+
+    def is_identity(self) -> bool:
+        return (self.cos_t == 1.0 and self.sin_t == 0.0
+                and self.offset == (0.0, 0.0, 0.0))
+
+
+def _combine_transform(transform: "Transform | None", rotate_y: float,
+                       translate) -> Transform:
+    """Builder kwarg convention: `transform` (outermost) wraps the
+    translate(rotate_y(...)) expressed by the plain kwargs."""
+    t = (Transform.translate(translate)
+         @ Transform.rotate_y(rotate_y))
+    return t if transform is None else transform @ t
+
+
 @dataclass
 class _Tex:
     ttype: int
@@ -163,39 +226,52 @@ class SceneBuilder:
 
     # ---- primitives ----
     def sphere(self, center, radius: float, mat: int, *, center1=None,
-               time0: float = 0.0, time1: float = 1.0):
+               time0: float = 0.0, time1: float = 1.0,
+               rotate_y: float = 0.0, translate=(0.0, 0.0, 0.0),
+               transform: Transform | None = None, flip: bool = False):
         """sphere / moving_sphere (sphere.h:130-131). Negative radius gives
-        inward normals (hollow glass, Scene/scene.h:85-86)."""
-        c0 = tuple(float(x) for x in center)
-        c1 = c0 if center1 is None else tuple(float(x) for x in center1)
+        inward normals (hollow glass, Scene/scene.h:85-86).
+
+        Accepts the same instancing wrappers as every other primitive
+        (reference: hittable.h:269-416 apply to any hittable). A sphere is
+        rotation-invariant about its center, so the whole wrapper chain
+        bakes into the center(s); flip_normals bakes into the radius sign.
+        """
+        tr = _combine_transform(transform, rotate_y, translate)
+        c0 = tr.apply(center)
+        c1 = c0 if center1 is None else tr.apply(center1)
         if c1 != c0:
             self._has_moving = True
+        if flip:
+            radius = -radius
         self._spheres.append(
             _Sphere(c0, c1, float(time0), float(time1), float(radius), mat))
         return ("sphere", len(self._spheres) - 1)
 
     def rect(self, axis: str, a0, a1, b0, b1, k, mat: int, *,
              flip: bool = False, rotate_y: float = 0.0,
-             translate=(0.0, 0.0, 0.0)):
+             translate=(0.0, 0.0, 0.0), transform: Transform | None = None):
         """xy/xz/yz rect (hittable.h:142-267) with optional flip_normals /
-        rotate_y (degrees) / translate wrappers baked in."""
+        rotate_y (degrees) / translate wrappers baked in; `transform`
+        composes an arbitrary nested wrapper chain outside those."""
         code = {"xy": st.RECT_XY, "xz": st.RECT_XZ, "yz": st.RECT_YZ}[axis]
-        rad = math.radians(rotate_y)
-        if rotate_y != 0.0 or tuple(translate) != (0.0, 0.0, 0.0):
+        tr = _combine_transform(transform, rotate_y, translate)
+        if not tr.is_identity():
             self._has_rect_transforms = True
         self._rects.append(_Rect(
             code, float(a0), float(a1), float(b0), float(b1), float(k),
-            -1.0 if flip else 1.0, math.cos(rad), math.sin(rad),
-            tuple(float(x) for x in translate), mat))
+            -1.0 if flip else 1.0, tr.cos_t, tr.sin_t,
+            tr.offset, mat))
         return ("rect", len(self._rects) - 1)
 
     def box(self, p0, p1, mat: int, *, rotate_y: float = 0.0,
-            translate=(0.0, 0.0, 0.0)):
+            translate=(0.0, 0.0, 0.0), transform: Transform | None = None):
         """Axis box as 6 rects with the exact reference face flips
         (hittable_list.h:65-114), sharing one instancing transform."""
         x0, y0, z0 = (float(v) for v in p0)
         x1, y1, z1 = (float(v) for v in p1)
-        kw = dict(rotate_y=rotate_y, translate=translate)
+        kw = dict(rotate_y=rotate_y, translate=translate,
+                  transform=transform)
         handles = [
             self.rect("xy", x0, x1, y0, y1, z1, mat, **kw),
             self.rect("xy", x0, x1, y0, y1, z0, mat, flip=True, **kw),
@@ -208,23 +284,25 @@ class SceneBuilder:
 
     def constant_medium_sphere(self, center, radius: float, density: float,
                                mat: int, *, rotate_y: float = 0.0,
-                               translate=(0.0, 0.0, 0.0)):
+                               translate=(0.0, 0.0, 0.0),
+                               transform: Transform | None = None):
         """constant_medium with a sphere boundary (hittable.h:420-489)."""
-        rad = math.radians(rotate_y)
+        tr = _combine_transform(transform, rotate_y, translate)
         self._media.append(_Medium(
             st.MEDIUM_SPHERE, tuple(float(x) for x in center),
-            (float(radius), 0.0, 0.0), math.cos(rad), math.sin(rad),
-            tuple(float(x) for x in translate), float(density), mat))
+            (float(radius), 0.0, 0.0), tr.cos_t, tr.sin_t,
+            tr.offset, float(density), mat))
         return ("medium", len(self._media) - 1)
 
     def constant_medium_box(self, p0, p1, density: float, mat: int, *,
-                            rotate_y: float = 0.0, translate=(0.0, 0.0, 0.0)):
+                            rotate_y: float = 0.0, translate=(0.0, 0.0, 0.0),
+                            transform: Transform | None = None):
         """constant_medium with a box boundary."""
-        rad = math.radians(rotate_y)
+        tr = _combine_transform(transform, rotate_y, translate)
         self._media.append(_Medium(
             st.MEDIUM_BOX, tuple(float(x) for x in p0),
-            tuple(float(x) for x in p1), math.cos(rad), math.sin(rad),
-            tuple(float(x) for x in translate), float(density), mat))
+            tuple(float(x) for x in p1), tr.cos_t, tr.sin_t,
+            tr.offset, float(density), mat))
         return ("medium", len(self._media) - 1)
 
     def add_light(self, handle):
