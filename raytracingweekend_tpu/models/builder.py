@@ -319,7 +319,8 @@ class SceneBuilder:
     # ---- compile ----
     def build(self, *, background: int = st.BG_GRADIENT,
               render_type: int = st.RENDER_SHADED, name: str = "",
-              use_bvh: bool = False) -> st.Scene:
+              use_bvh: bool = False,
+              lambertian_strategy: str = "mis") -> st.Scene:
         """Compile to a Scene. use_bvh builds a sphere BVH (ops/bvh.py) and
         stores it on the scene; closest_hit then traverses it instead of the
         brute-force table scan — the win starts at thousands of spheres."""
@@ -471,5 +472,6 @@ class SceneBuilder:
             has_dielectric=any(m.mtype == st.MAT_DIELECTRIC for m in mats),
             has_isotropic=any(m.mtype == st.MAT_ISOTROPIC for m in mats),
             has_lights_mat=any(m.mtype == st.MAT_DIFFUSE_LIGHT for m in mats),
+            lambertian_strategy=lambertian_strategy,
             needs_legacy_textures=complex_checker,
             name=name)

@@ -217,6 +217,11 @@ class Scene:
     has_dielectric: bool = struct.field(pytree_node=False, default=True)
     has_isotropic: bool = struct.field(pytree_node=False, default=True)
     has_lights_mat: bool = struct.field(pytree_node=False, default=True)
+    # Diffuse sampling strategy: "mis" is the book-3 final form (cosine pdf
+    # mixed with the lights list); the other four are the reference's
+    # preserved historical strategies (material.h:83-107 #if 0 blocks):
+    # "unit_sphere", "unit_vector", "hemisphere", "onb".
+    lambertian_strategy: str = struct.field(pytree_node=False, default="mis")
     # True when the packed shading rows (ops/packing.py) cannot express the
     # texture graph (a checker with procedural children) and shading must use
     # the gather-based evaluator. The reference never needs this.

@@ -22,6 +22,7 @@ from .ops import linalg, sampling
 __all__ = [
     "estimate_pi", "estimate_pi_stratified", "integrate_x_squared_uniform",
     "integrate_x_squared_linear_pdf", "integrate_x_squared_quadratic_pdf",
+    "estimate_pi_forever",
     "integrate_cos_squared_sphere", "integrate_cos_cubed_uniform_hemisphere",
     "integrate_cos_cubed_cosine_pdf", "cosine_direction_cloud",
 ]
@@ -34,6 +35,27 @@ def estimate_pi(key, n: int = 1_000_000) -> Tuple[float, float]:
     y = sampling.uniform(ky, (n,), -1.0, 1.0)
     est = 4.0 * jnp.mean((x * x + y * y < 1.0).astype(jnp.float32))
     return float(est), math.pi
+
+
+def estimate_pi_forever(key, chunk: int = 100_000, steps: int = 10):
+    """Running-convergence pi study (MonteCarlo_EstimatePI_Forever,
+    MonteCarlo.cpp:33-51): the reference loops endlessly printing the
+    cumulative estimate every 100k draws; the wavefront form runs a
+    fixed number of chunks through one lax.scan with a running
+    inside-count carry and returns every intermediate estimate.
+    Returns (estimates list of length `steps`, pi)."""
+    def body(carry, k):
+        inside, total = carry
+        kx, ky = jax.random.split(k)
+        x = sampling.uniform(kx, (chunk,), -1.0, 1.0)
+        y = sampling.uniform(ky, (chunk,), -1.0, 1.0)
+        inside = inside + jnp.sum((x * x + y * y < 1.0).astype(jnp.float32))
+        total = total + chunk
+        return (inside, total), 4.0 * inside / total
+
+    keys = jax.random.split(key, steps)
+    (_, _), ests = jax.lax.scan(body, (jnp.zeros(()), jnp.zeros(())), keys)
+    return [float(e) for e in ests], math.pi
 
 
 def estimate_pi_stratified(key, sqrt_n: int = 1000) -> Tuple[float, float, float]:
@@ -117,8 +139,11 @@ def cosine_direction_cloud(key, n: int = 1000):
 
 def main():
     key = jax.random.key(0)
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 9)
     print("Estimate of PI = %.6f (pi = %.6f)" % estimate_pi(ks[0]))
+    ests, _ = estimate_pi_forever(ks[8], chunk=100_000, steps=5)
+    for e in ests:
+        print(f"Estimate of PI = {e:.6f}")
     plain, strat, pi = estimate_pi_stratified(ks[1], sqrt_n=300)
     print(f"Regular     Estimate of Pi = {plain:.6f}")
     print(f"Stratified  Estimate of Pi = {strat:.6f}")

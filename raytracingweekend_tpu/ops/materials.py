@@ -108,16 +108,47 @@ def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
         is_light = jnp.zeros((N,), bool)
         emitted = jnp.zeros((N, 3), d_in.dtype)
 
-    # --- lambertian: cosine pdf + MIS mixture (material.h:77-122) ---
-    mix_dir, pdf_val = pdfs.mixture_sample_and_value(k_mix, hit.p, hit.normal,
-                                                     scene)
+    # --- lambertian: cosine pdf + MIS mixture (material.h:77-122), or one
+    # of the reference's four preserved historical strategies
+    # (material.h:83-107 #if 0 blocks), selected statically per scene ---
+    strategy = scene.lambertian_strategy
+    if strategy == "mis":
+        mix_dir, pdf_val = pdfs.mixture_sample_and_value(k_mix, hit.p,
+                                                         hit.normal, scene)
+    elif strategy == "unit_sphere":
+        # target = p + normal + random_in_unit_sphere (material.h:83-87);
+        # sampled from the scattering pdf only in aggregate — the reference
+        # sets sampling_pdf = scattering_pdf, cancelling the weight.
+        mix_dir = hit.normal + sampling.random_in_unit_sphere(
+            k_mix, (N,))
+        pdf_val = None  # weight cancels to the albedo
+    elif strategy == "unit_vector":
+        # target = p + normal + random_unit_vector (material.h:89-93)
+        mix_dir = hit.normal + sampling.random_unit_vector(k_mix, (N,))
+        pdf_val = None
+    elif strategy == "hemisphere":
+        # uniform hemisphere, pdf 1/(2 pi) (material.h:95-99)
+        mix_dir = sampling.random_in_hemisphere(k_mix, hit.normal)
+        pdf_val = jnp.full((N,), 1.0 / (2.0 * math.pi), d_in.dtype)
+    elif strategy == "onb":
+        # cosine pdf about the normal, no light mixture (material.h:101-107)
+        mix_dir = pdfs.cosine_pdf_sample(k_mix, hit.normal)
+        pdf_val = pdfs.cosine_pdf_value(hit.normal, mix_dir)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown lambertian_strategy {strategy!r}")
     cosine = linalg.dot(hit.normal, linalg.normalize(mix_dir))
     spdf = jnp.where(cosine < 0, 0.0, cosine / math.pi)  # material.h:115-119
-    lam_ok = pdf_val > 0.0  # cpp:126-127 pdf_val <= 0 -> return emitted
-    lam_weight = jnp.where(
-        lam_ok[:, None],
-        tex_val * (spdf / jnp.where(lam_ok, pdf_val, 1.0))[:, None],
-        0.0)
+    if pdf_val is None:
+        # sampling_pdf == scattering_pdf by construction: weight = albedo
+        # whenever the sampled direction is above the horizon.
+        lam_ok = spdf > 0.0
+        lam_weight = jnp.where(lam_ok[:, None], tex_val, 0.0)
+    else:
+        lam_ok = pdf_val > 0.0  # cpp:126-127 pdf_val <= 0 -> return emitted
+        lam_weight = jnp.where(
+            lam_ok[:, None],
+            tex_val * (spdf / jnp.where(lam_ok, pdf_val, 1.0))[:, None],
+            0.0)
 
     # --- metal (material.h:124-140) ---
     if scene.has_metal:

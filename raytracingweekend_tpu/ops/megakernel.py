@@ -317,7 +317,10 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
             zb = 1.0 - 2.0 * u[2:3]
             rb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
             phib = (2.0 * math.pi) * u[3:4]
-            radb = jnp.cbrt(u[4:5])
+            # ball radius ~ U^(1/3); cbrt has no Mosaic lowering, use
+            # exp(log/3) (u == 0 maps to radius 0, the correct limit)
+            radb = jnp.exp(jnp.log(jnp.maximum(u[4:5], 1e-30))
+                           * (1.0 / 3.0))
             fz = at(A_FUZZ)
             mex = rfx + fz * (rb * jnp.cos(phib) * radb)
             mey = rfy + fz * (rb * jnp.sin(phib) * radb)
