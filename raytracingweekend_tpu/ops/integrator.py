@@ -245,6 +245,25 @@ def _block_linear_order(nx: int, ny: int, block: int = 32):
     return order, inverse
 
 
+def _tile_width(n_slots: int, k: int) -> int:
+    """Pixels per tile for the tiled integrator.
+
+    Empirically the EXACT tile width 1<<15 faults the TPU worker
+    (device-level crash, not a Python error) while 1<<14 and 1<<16 are
+    fine and CPU is correct for all three — a Mosaic/XLA shape-specific
+    miscompile we sidestep rather than hit. Minimized repro:
+    tools/mosaic_repros/repro_tile_32768_fault.py (gated on
+    RTW_DISABLE_TILE_GUARD so nothing can trip it by accident);
+    regression pin: tests/test_integrator_guards.py.
+    """
+    import os
+
+    T = max(n_slots // k, 256)
+    if T == (1 << 15) and not os.environ.get("RTW_DISABLE_TILE_GUARD"):
+        T = 1 << 16
+    return T
+
+
 def trace_tiled(key, scene: st.Scene, nx: int, ny: int, spp: int,
                 max_depth: int = 100, n_slots: int = 1 << 19,
                 spp_per_slot: int | None = None,
@@ -281,11 +300,7 @@ def trace_tiled(key, scene: st.Scene, nx: int, ny: int, spp: int,
     while spp % spp_per_slot:
         spp_per_slot -= 1
     k = spp // spp_per_slot                 # sample-parallel slots per pixel
-    T = max(n_slots // k, 256)              # pixels per tile
-    if T == (1 << 15):
-        # Empirically this exact tile shape faults the TPU worker (Mosaic/XLA
-        # shape-specific miscompile; CPU is fine) — sidestep it. See CLAUDE.md.
-        T = 1 << 16
+    T = _tile_width(n_slots, k)             # pixels per tile
     slots = T * k
     n_tiles = -(-n_pix // T)
     n_pad = n_tiles * T

@@ -84,21 +84,26 @@ def _uniforms(n_rows, T, seed, tile, it, salt: int):
     interpreter stubs out). Two xor-multiply rounds give full avalanche;
     mantissa-fill bit trick converts to [0, 1).
     """
-    lane = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, T), 1)
-    row = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, T), 0)
-    x = (seed.astype(jnp.uint32)
-         + lane * jnp.uint32(0x9E3779B1)
-         + row * jnp.uint32(0x85EBCA77)
-         + it.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
-         + tile.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
-         + jnp.uint32(salt * 0x165667B1))
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
-    return pltpu.bitcast((x >> 9) | jnp.uint32(0x3F800000),
-                         jnp.float32) - 1.0
+    # All-int32 arithmetic (wrapping adds/muls + logical shifts): Mosaic's
+    # unsigned support is partial, and the bit patterns are identical.
+    def c32(v):
+        return jnp.int32(v - (1 << 32) if v >= (1 << 31) else v)
+
+    shr = jax.lax.shift_right_logical
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, T), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, T), 0)
+    x = (seed
+         + lane * c32(0x9E3779B1)
+         + row * c32(0x85EBCA77)
+         + it * c32(0xC2B2AE3D)
+         + tile * c32(0x27D4EB2F)
+         + c32((salt * 0x165667B1) & 0xFFFFFFFF))
+    x = x ^ shr(x, 16)
+    x = x * c32(0x7FEB352D)
+    x = x ^ shr(x, 15)
+    x = x * c32(0x846CA68B)
+    x = x ^ shr(x, 16)
+    return pltpu.bitcast(shr(x, 9) | c32(0x3F800000), jnp.float32) - 1.0
 
 
 def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
@@ -374,7 +379,9 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
         wx = jnp.where(is_diel, 1.0, albx)
         wy = jnp.where(is_diel, 1.0, alby)
         wz = jnp.where(is_diel, 1.0, albz)
-        scatter_ok = jnp.where(is_lam, lam_ok, jnp.ones_like(lam_ok))
+        # NOTE: no jnp.where on i1 vectors — Mosaic lowers bool select_n
+        # through an i8->i1 trunci it does not support.
+        scatter_ok = jnp.logical_or(jnp.logical_not(is_lam), lam_ok)
 
         # ---- background on miss (RayTracingWeekend.cpp:143-158) ----
         miss = active & jnp.logical_not(hit)
@@ -435,10 +442,13 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
         sf_ref[R_DONE:R_DONE + 1, :] = done
         sf_ref[R_ITERS:R_ITERS + 1, :] = sf_ref[R_ITERS:R_ITERS + 1, :] + 1.0
 
-        return it + 1, jnp.any(done < spp)
+        # int32 live-flag carry: scalar i1 carries hit Mosaic truncation
+        # limits.
+        return it + 1, jnp.any(done < spp).astype(jnp.int32)
 
-    jax.lax.while_loop(lambda c: c[1], body,
-                       (jnp.zeros((), jnp.int32), jnp.any(valid)))
+    jax.lax.while_loop(lambda c: c[1] > 0, body,
+                       (jnp.zeros((), jnp.int32),
+                        jnp.any(valid).astype(jnp.int32)))
 
     out_ref[0, 0:1, :] = sf_ref[R_AX:R_AX + 1, :]
     out_ref[0, 1:2, :] = sf_ref[R_AY:R_AY + 1, :]
