@@ -205,6 +205,45 @@ def two_perlin_spheres(aspect: float) -> st.Scene:
     return b.build(background=st.BG_GRADIENT, name="two_perlin_spheres")
 
 
+@register("random_balls_large")
+def random_balls_large(aspect: float, n: int = 60,
+                       use_bvh: bool = True) -> st.Scene:
+    """Procedural stress scene beyond the reference's scale: an n x n grid
+    of jittered diffuse/metal/glass balls (~n^2 spheres; default 3.6k vs
+    the book-1 scene's ~480), built with the sphere BVH enabled — the
+    scene size class where log-depth traversal beats the dense table scan
+    (see tools/bvh_bench.py for the measured crossover)."""
+    b = SceneBuilder()
+    eng = MinStd()
+    half = n // 2
+    b.sphere((0, -1000, 0), 1000.0, b.lambertian(b.constant((0.5, 0.5, 0.5))))
+    for a in range(-half, half):
+        for bb in range(-half, half):
+            choose_mat = eng.uniform()
+            uz = eng.uniform()
+            ux = eng.uniform()
+            center = (a + 0.9 * ux, 0.2, bb + 0.9 * uz)
+            if choose_mat < 0.8:
+                color = (eng.uniform() * eng.uniform(),
+                         eng.uniform() * eng.uniform(),
+                         eng.uniform() * eng.uniform())
+                b.sphere(center, 0.2, b.lambertian(b.constant(color)))
+            elif choose_mat < 0.95:
+                color = (0.5 * (1 + eng.uniform()),
+                         0.5 * (1 + eng.uniform()),
+                         0.5 * (1 + eng.uniform()))
+                b.sphere(center, 0.2, b.metal(color, 0.5 * eng.uniform()))
+            else:
+                b.sphere(center, 0.2, b.dielectric(1.5))
+    b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
+    b.sphere((-4, 1, 0), 1.0, b.lambertian(b.constant((0.4, 0.2, 0.1))))
+    b.sphere((4, 1, 0), 1.0, b.metal((0.7, 0.6, 0.5), 0.0))
+    b.camera((13, 4, 3), (0, 0, 0), (0, 1, 0), 30.0, aspect, 0.0, 10.0,
+             0.0, 1.0)
+    return b.build(background=st.BG_GRADIENT, name="random_balls_large",
+                   use_bvh=use_bvh)
+
+
 @register("checker_spheres")
 def checker_spheres(aspect: float) -> st.Scene:
     """Book-2 checker ground (capability parity for checker_texture,

