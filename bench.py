@@ -57,8 +57,12 @@ def main():
         return render_chunk_tiled(scene, k, NX, NY, SPP_PER_LAUNCH,
                                   MAX_DEPTH)
 
-    # Warmup / compile (persistent-cached across runs).
+    # Warmup / compile (persistent-cached across runs). Two launches: the
+    # first compiles, the second absorbs one-time dispatch/host-transfer
+    # setup so the timed section measures steady state.
     img, seg = launch_fn(key)
+    _ = float(seg)
+    img, seg = launch_fn(jax.random.fold_in(key, 999))
     _ = float(seg)
 
     total_segments = 0.0

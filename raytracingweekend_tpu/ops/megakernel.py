@@ -234,15 +234,19 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
                 ocy = oy - cy
                 ocz = oz - cz
                 b = ocx * dx + ocy * dy + ocz * dz
+                # r2 lane is -1 on inactive rows (build_tables), making
+                # disc < 0 there — the active mask costs zero ops.
                 cc = (ocx * ocx + ocy * ocy + ocz * ocz
                       - sph_ref[lo:lo + SB, C_R2:C_R2 + 1])
                 disc = b * b - cc
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                # Unguarded sqrt: disc < 0 yields NaN, every comparison
+                # with NaN is false, so the two selects funnel misses to
+                # BIG — three fewer VPU ops per (sphere, ray) than the
+                # max+compare+and form on the hottest line of the renderer.
+                sq = jnp.sqrt(disc)
                 tn = -b - sq
                 tc = jnp.where(tn > t_min, tn, -b + sq)
-                ok = ((disc > 0.0) & (tc > t_min)
-                      & (sph_ref[lo:lo + SB, C_ACT:C_ACT + 1] > 0.0))
-                tc_ref[lo:lo + SB, :] = jnp.where(ok, tc, BIG)
+                tc_ref[lo:lo + SB, :] = jnp.where(tc > t_min, tc, BIG)
 
             @pl.when(jnp.logical_not(any_hit))
             def _(lo=lo):
@@ -508,6 +512,34 @@ def _morton_order(centers: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable").astype(np.int32)
 
 
+_TABLE_CACHE: dict = {}
+
+
+def build_tables_cached(scene: st.Scene, SB: int):
+    """Per-scene-object memo of build_tables: the eager packing pulls the
+    sphere SoA to the host (device->host round-trips cost ~28 ms each
+    through a remote tunnel), which would otherwise tax every launch.
+    Keyed by object identity with weakref eviction (Scene pytrees hold
+    unhashable arrays), so mutated/replaced scenes never hit a stale
+    entry."""
+    import weakref
+
+    key = id(scene)
+    entry = _TABLE_CACHE.get(key)
+    if entry is not None and entry[0]() is scene:
+        per = entry[1]
+        if SB not in per:
+            per[SB] = build_tables(scene, SB)
+        return per[SB]
+    tables = build_tables(scene, SB)
+    try:
+        ref = weakref.ref(scene, lambda _: _TABLE_CACHE.pop(key, None))
+    except TypeError:  # no weakref support: don't cache
+        return tables
+    _TABLE_CACHE[key] = (ref, {SB: tables})
+    return tables
+
+
 def build_tables(scene: st.Scene, SB: int = 64):
     """Host-side (eager) packing: Morton-sorted sphere tables + cluster
     AABBs + camera vector. Returns (sph_tab (S,128), attr_tab (16,S),
@@ -541,10 +573,13 @@ def build_tables(scene: st.Scene, SB: int = 64):
     idt = np.where(dt != 0, 1.0 / np.where(dt != 0, dt, 1.0), 0.0)
     dc = c1p - c0p
 
+    # r2 = -1 on padding rows: the kernel's quadratic then has disc < 0
+    # everywhere, so inactive spheres can never hit without a mask op.
+    r2 = np.where(actp > 0, radp ** 2, -1.0).astype(np.float32)
     sph_tab = np.zeros((S, SPH_LANES), np.float32)
     for lane, v in ((C_CX, c0p[:, 0]), (C_CY, c0p[:, 1]), (C_CZ, c0p[:, 2]),
                     (C_DCX, dc[:, 0]), (C_DCY, dc[:, 1]), (C_DCZ, dc[:, 2]),
-                    (C_T0, t0p), (C_IDT, idt), (C_R2, radp ** 2),
+                    (C_T0, t0p), (C_IDT, idt), (C_R2, r2),
                     (C_ACT, actp)):
         sph_tab[:, lane] = v
 
@@ -643,36 +678,61 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, seed, *,
 
 
 @functools.lru_cache(maxsize=8)
-def _pixel_layout(nx: int, ny: int, T: int):
-    """Block-linear pixel order split into T-lane tiles. Returns
-    (pixf (n_tiles, 4, T) f32 rows [i, j, valid, pad], inverse perm)."""
+def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
+    """Block-linear pixel order split into tiles of T lanes covering
+    T/k pixels with k sample-parallel slots each (k slots of one pixel
+    finish their spp/k samples in near-lockstep, shrinking the per-tile
+    tail). Returns (pixf (n_tiles, 4, T) f32 rows [i, j, valid, pad],
+    inverse perm)."""
     from .integrator import _block_linear_order
 
+    assert T % k == 0
+    Tp = T // k
     n_pix = nx * ny
     order, inv = _block_linear_order(nx, ny)
-    n_tiles = -(-n_pix // T)
-    n_pad = n_tiles * T
+    n_tiles = -(-n_pix // Tp)
+    n_pad = n_tiles * Tp
     order_p = np.pad(order, (0, n_pad - n_pix), constant_values=n_pix)
+    tiles = order_p.reshape(n_tiles, Tp)
+    lanes = np.tile(tiles, (1, k))                       # (n_tiles, T)
     pixf = np.zeros((n_tiles, 4, T), np.float32)
-    valid = order_p < n_pix
-    safe = np.where(valid, order_p, 0)
-    pixf[:, 0, :] = (safe % nx).reshape(n_tiles, T)
-    pixf[:, 1, :] = (safe // nx).reshape(n_tiles, T)
-    pixf[:, 2, :] = valid.reshape(n_tiles, T).astype(np.float32)
+    valid = lanes < n_pix
+    safe = np.where(valid, lanes, 0)
+    pixf[:, 0, :] = safe % nx
+    pixf[:, 1, :] = safe // nx
+    pixf[:, 2, :] = valid.astype(np.float32)
     return jnp.asarray(pixf), inv
 
 
 def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                max_depth: int = 50, rr_depth: int | None = 4,
-               T: int = 512, SB: int = 64, interpret: bool = False):
+               T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
+               interpret: bool = False):
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
-    segment count). Host-side prep is eager (concrete scene required)."""
+    segment count). Host-side prep is eager (concrete scene required).
+
+    T = lanes per tile; SB = sphere cluster size (SB == padded table size
+    disables culling — measured fastest for the ~500-sphere book-1 scene,
+    where bounce divergence activates every cluster anyway);
+    slots_per_pixel = k sample-parallel lanes per pixel, each tracing
+    spp/k samples."""
     assert supports_scene(scene), "scene not supported by the megakernel"
-    sph_tab, attr_tab, clus_tab, cam_vec, meta = build_tables(scene, SB)
-    pixf, inv = _pixel_layout(nx, ny, T)
+    k = slots_per_pixel
+    assert spp % k == 0, (spp, k)
+    sph_tab, attr_tab, clus_tab, cam_vec, meta = build_tables_cached(scene,
+                                                                     SB)
+    # Keep the candidate-t scratch (S, T) within a conservative VMEM slice
+    # for big sphere tables (T=4096-class shapes measurably spill).
+    S_padded = meta["S"]
+    while T > 512 and S_padded * T * 4 > (8 << 20):
+        T //= 2
+    T = max(T, 512)
+    if T % k:
+        k = 1
+    pixf, inv = _pixel_layout(nx, ny, T, k)
     n_tiles = pixf.shape[0]
     cfg = _Cfg(T=T, SB=meta["SB"], C=meta["C"], S=meta["S"], nx=nx, ny=ny,
-               spp=spp, max_depth=max_depth, rr_depth=rr_depth,
+               spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,
                t_min=0.001, moving=meta["moving"], lens=meta["lens"],
                has_metal=meta["has_metal"],
                has_dielectric=meta["has_dielectric"],
@@ -681,7 +741,10 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                               dtype=jnp.int32)
     out = _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, seed,
                      cfg=cfg, n_tiles=n_tiles, interpret=interpret)
-    blocked = out[:, 0:3, :].transpose(0, 2, 1).reshape(n_tiles * T, 3)
+    Tp = T // k
+    blocked = (out[:, 0:3, :].transpose(0, 2, 1)
+               .reshape(n_tiles, k, Tp, 3).sum(axis=1)
+               .reshape(n_tiles * Tp, 3))
     image = blocked[jnp.asarray(inv)].reshape(ny, nx, 3)
     segments = jnp.sum(out[:, 3, :])
     return image, segments

@@ -51,6 +51,18 @@ def test_mega_deterministic_and_seed_sensitive():
     assert not np.array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_slots_per_pixel_agrees():
+    scene = make_scene("dielectric", 1.0)
+    a, _ = mk.trace_mega(KEY, scene, 16, 16, 8, max_depth=8, T=128, SB=32,
+                         slots_per_pixel=1, interpret=True)
+    b, _ = mk.trace_mega(KEY, scene, 16, 16, 8, max_depth=8, T=128, SB=32,
+                         slots_per_pixel=2, interpret=True)
+    a = np.asarray(a) / 8
+    b = np.asarray(b) / 8
+    np.testing.assert_allclose(a.mean(axis=(0, 1)), b.mean(axis=(0, 1)),
+                               atol=0.03)
+
+
 def test_supports_scene_gates():
     assert not mk.supports_scene(make_scene("cornell_box", 1.0))
     assert not mk.supports_scene(make_scene("two_perlin_spheres", 1.0))
