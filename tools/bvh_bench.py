@@ -12,9 +12,13 @@ at large N, so rates are reported from a multi-launch loop).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -51,41 +55,48 @@ def main():
                           active=jnp.ones((S,), bool))
 
     def timed(fn, label, S):
-        out = fn()
-        _ = float(jnp.sum(out[0]))  # compile + sync
-        t0 = time.perf_counter()
-        for _r in range(args.repeats):
+        try:
             out = fn()
-            _ = float(jnp.sum(out[0]))
-        dt = (time.perf_counter() - t0) / args.repeats
+            _ = float(jnp.sum(out[0]))  # compile + sync
+            t0 = time.perf_counter()
+            for _r in range(args.repeats):
+                out = fn()
+                _ = float(jnp.sum(out[0]))
+            dt = (time.perf_counter() - t0) / args.repeats
+        except Exception as e:  # e.g. VMEM RESOURCE_EXHAUSTED at huge S
+            msg = str(e).splitlines()[0][:120]
+            print(f"S={S:6d} {label:14s} FAILED: {msg}", flush=True)
+            return dict(S=S, path=label, error=msg)
         rate = N / dt
         print(f"S={S:6d} {label:14s} {dt * 1e3:9.2f} ms "
               f"{rate / 1e6:9.2f} M rays/s", flush=True)
         return dict(S=S, path=label, seconds=dt, rays_per_s=rate)
 
-    rows = []
+    def emit(r):
+        if args.out:
+            import json
+            with open(args.out, "a") as f:
+                f.write(json.dumps(r) + "\n")
+
     for S in (int(x) for x in args.sizes.split(",")):
         sph = spheres_of(S)
-        rows.append(timed(
+        emit(timed(
             lambda: geometry._hit_spheres_xla(o, d, tm, 0.001, sph, False),
             "xla-brute", S))
-        if geometry.use_pallas():
+        # The whole (S, 128) sphere table must fit VMEM alongside scratch;
+        # past ~8 MB the kernel cannot allocate (measured: S=32768 fails
+        # RESOURCE_EXHAUSTED), so skip rather than crash the sweep.
+        if geometry.use_pallas() and S * 128 * 4 <= (8 << 20):
             from raytracingweekend_tpu.ops import pallas_intersect as pi
             rays = pi.pack_rays(o, d, tm)
             table = pi.pack_spheres(sph)
-            rows.append(timed(
+            emit(timed(
                 lambda: pi.hit_spheres_pallas(rays, table, moving=False),
                 "pallas-vmem", S))
         tree = build_sphere_bvh(sph)
-        rows.append(timed(
+        emit(timed(
             lambda: hit_spheres_bvh(o, d, tm, 0.001, sph, tree, False),
             "bvh-skiplink", S))
-
-    if args.out:
-        import json
-        with open(args.out, "a") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":
