@@ -62,6 +62,21 @@ SPH_LANES = 128
 (K_MINX, K_MINY, K_MINZ, K_MAXX, K_MAXY, K_MAXZ) = range(6)
 CLUS_LANES = 128
 
+# ---- rect-table lanes: (R, 128), rect-major ----
+# Axis code, rotation/translation presence, and flip sign are STATIC per
+# rect (cfg tuples): the per-rect intersection is Python-unrolled, so the
+# axis permutation costs zero ops and the world normal (constant per rect
+# after baking flip+rotate_y) is three table lanes.
+(RT_A0, RT_A1, RT_B0, RT_B1, RT_K, RT_COS, RT_SIN, RT_OFFX, RT_OFFY,
+ RT_OFFZ, RT_NX, RT_NY, RT_NZ, RT_MTYPE, RT_ALBX, RT_ALBY, RT_ALBZ,
+ RT_FUZZ, RT_RIDX) = range(19)
+RECT_LANES = 128
+
+# ---- light-table lanes: (L, 128), light-major (kind/axis are static) ----
+(LT_A0, LT_A1, LT_B0, LT_B1, LT_K, LT_COS, LT_SIN, LT_OFFX, LT_OFFY,
+ LT_OFFZ, LT_AREA, LT_CX, LT_CY, LT_CZ, LT_RAD) = range(15)
+LIGHT_LANES = 128
+
 # ---- camera parameter lanes: (1, 128) ----
 (CAM_OX, CAM_OY, CAM_OZ, CAM_LLX, CAM_LLY, CAM_LLZ, CAM_HX, CAM_HY, CAM_HZ,
  CAM_VX, CAM_VY, CAM_VZ, CAM_UX, CAM_UY, CAM_UZ, CAM_WX, CAM_WY, CAM_WZ,
@@ -106,8 +121,26 @@ def _uniforms(n_rows, T, seed, tile, it, salt: int):
     return pltpu.bitcast(shr(x, 9) | c32(0x3F800000), jnp.float32) - 1.0
 
 
-def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
-            out_ref, tc_ref, sf_ref, *, cfg):
+def _onb(wx, wy, wz):
+    """Branchless per-lane ONB about unit w (onb.h:32-38): helper axis ey
+    when |w.x| > 0.9 else ex; v = normalize(w x a); u = w x v."""
+    bigx = jnp.abs(wx) > 0.9
+    zero = jnp.zeros_like(wx)
+    vx = jnp.where(bigx, -wz, zero)
+    vy = jnp.where(bigx, zero, wz)
+    vz = jnp.where(bigx, wx, -wy)
+    vinv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz + 1e-30)
+    vx = vx * vinv
+    vy = vy * vinv
+    vz = vz * vinv
+    ux = wy * vz - wz * vy
+    uy = wz * vx - wx * vz
+    uz = wx * vy - wy * vx
+    return ux, uy, uz, vx, vy, vz
+
+
+def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
+            light_ref, seed_ref, out_ref, tc_ref, sf_ref, *, cfg):
     """One tile: T per-pixel slots, each tracing cfg.spp full paths."""
     T = cfg.T
     SB = cfg.SB
@@ -202,7 +235,7 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
         idx_ = 1.0 / dx
         idy_ = 1.0 / dy
         idz_ = 1.0 / dz
-        for c in range(C):
+        for c in range(C if cfg.has_spheres else 0):
             tx0 = (clus_ref[c, K_MINX] - ox) * idx_
             tx1 = (clus_ref[c, K_MAXX] - ox) * idx_
             ty0 = (clus_ref[c, K_MINY] - oy) * idy_
@@ -252,45 +285,143 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
             def _(lo=lo):
                 tc_ref[lo:lo + SB, :] = jnp.full((SB, T), BIG, jnp.float32)
 
-        tc_all = tc_ref[...]
-        best_t = jnp.min(tc_all, axis=0, keepdims=True)      # (1, T)
+        if cfg.has_spheres:
+            tc_all = tc_ref[...]
+            s_best = jnp.min(tc_all, axis=0, keepdims=True)  # (1, T)
+        else:
+            s_best = jnp.full((1, T), BIG, jnp.float32)
+
+        # ---- unrolled rect intersection (hittable.h:142-267, baked
+        # flip/rotate_y/translate; axis + transform presence are static per
+        # rect so the permutation and identity transforms cost zero ops) ----
+        if cfg.R:
+            rb_t = jnp.full((1, T), BIG, jnp.float32)
+            zz1 = jnp.zeros((1, T), jnp.float32)
+            r_mt = zz1
+            r_nxa = zz1
+            r_nya = zz1
+            r_nza = zz1
+            r_abx = zz1
+            r_aby = zz1
+            r_abz = zz1
+            r_fz = zz1
+            r_ri = zz1
+            for ri in range(cfg.R):
+                def rl(kk, ri=ri):
+                    return rect_ref[ri, kk]
+
+                if cfg.rect_rot[ri]:
+                    cth = rl(RT_COS)
+                    sth = rl(RT_SIN)
+                    shx = ox - rl(RT_OFFX)
+                    roy = oy - rl(RT_OFFY)
+                    shz = oz - rl(RT_OFFZ)
+                    rox = cth * shx - sth * shz
+                    roz = sth * shx + cth * shz
+                    rdx = cth * dx - sth * dz
+                    rdz = sth * dx + cth * dz
+                    rdy = dy
+                elif cfg.rect_trans[ri]:
+                    rox = ox - rl(RT_OFFX)
+                    roy = oy - rl(RT_OFFY)
+                    roz = oz - rl(RT_OFFZ)
+                    rdx, rdy, rdz = dx, dy, dz
+                else:
+                    rox, roy, roz = ox, oy, oz
+                    rdx, rdy, rdz = dx, dy, dz
+                axc = cfg.rect_axes[ri]
+                if axc == 0:        # XY: plane z = k
+                    o_a, o_b, o_n = rox, roy, roz
+                    d_a, d_b, d_n = rdx, rdy, rdz
+                elif axc == 1:      # XZ: plane y = k
+                    o_a, o_b, o_n = rox, roz, roy
+                    d_a, d_b, d_n = rdx, rdz, rdy
+                else:               # YZ: plane x = k
+                    o_a, o_b, o_n = roy, roz, rox
+                    d_a, d_b, d_n = rdy, rdz, rdx
+                # d_n == 0 gives t = +-inf/nan; all comparisons then fail,
+                # so parallel rays fall through with no explicit guard.
+                t_r = (rl(RT_K) - o_n) / d_n
+                pa_ = o_a + t_r * d_a
+                pb_ = o_b + t_r * d_b
+                okr = ((t_r > t_min) & (t_r < rb_t)
+                       & (pa_ >= rl(RT_A0)) & (pa_ <= rl(RT_A1))
+                       & (pb_ >= rl(RT_B0)) & (pb_ <= rl(RT_B1)))
+                rb_t = jnp.where(okr, t_r, rb_t)
+                r_mt = jnp.where(okr, rl(RT_MTYPE), r_mt)
+                r_nxa = jnp.where(okr, rl(RT_NX), r_nxa)
+                r_nya = jnp.where(okr, rl(RT_NY), r_nya)
+                r_nza = jnp.where(okr, rl(RT_NZ), r_nza)
+                r_abx = jnp.where(okr, rl(RT_ALBX), r_abx)
+                r_aby = jnp.where(okr, rl(RT_ALBY), r_aby)
+                r_abz = jnp.where(okr, rl(RT_ALBZ), r_abz)
+                if cfg.has_metal:
+                    r_fz = jnp.where(okr, rl(RT_FUZZ), r_fz)
+                if cfg.has_dielectric:
+                    r_ri = jnp.where(okr, rl(RT_RIDX), r_ri)
+            use_rect = rb_t < s_best
+            best_t = jnp.minimum(s_best, rb_t)
+        else:
+            best_t = s_best
         hit = best_t < _HIT_CUT
 
-        # ---- one-hot MXU attribute extraction ----
-        maskf = ((tc_all == best_t) & hit).astype(jnp.float32)
-        attrs = jax.lax.dot_general(
-            attr_ref[...], maskf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (16, T)
-
-        def at(r):
-            return attrs[r:r + 1, :]
-
-        # ---- hit point / normal ((p - c(t)) / r, sphere.h:56-66) ----
         px_ = ox + best_t * dx
         py_ = oy + best_t * dy
         pz_ = oz + best_t * dz
-        scx = at(A_CX)
-        scy = at(A_CY)
-        scz = at(A_CZ)
-        if cfg.moving:
-            frac = (time - at(A_T0)) * at(A_IDT)
-            scx = scx + frac * at(A_DCX)
-            scy = scy + frac * at(A_DCY)
-            scz = scz + frac * at(A_DCZ)
-        rinv = at(A_RINV)
-        nx_ = (px_ - scx) * rinv
-        ny_ = (py_ - scy) * rinv
-        nz_ = (pz_ - scz) * rinv
 
-        mtype = at(A_MTYPE)
-        albx = at(A_ALBX)
-        alby = at(A_ALBY)
-        albz = at(A_ALBZ)
+        if cfg.has_spheres:
+            # ---- one-hot MXU attribute extraction ----
+            maskf = ((tc_all == s_best)
+                     & (s_best < _HIT_CUT)).astype(jnp.float32)
+            attrs = jax.lax.dot_general(
+                attr_ref[...], maskf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (16, T)
+
+            def at(r):
+                return attrs[r:r + 1, :]
+
+            # ---- sphere normal ((p - c(t)) / r, sphere.h:56-66) ----
+            scx = at(A_CX)
+            scy = at(A_CY)
+            scz = at(A_CZ)
+            if cfg.moving:
+                frac = (time - at(A_T0)) * at(A_IDT)
+                scx = scx + frac * at(A_DCX)
+                scy = scy + frac * at(A_DCY)
+                scz = scz + frac * at(A_DCZ)
+            rinv = at(A_RINV)
+            nx_ = (px_ - scx) * rinv
+            ny_ = (py_ - scy) * rinv
+            nz_ = (pz_ - scz) * rinv
+            mtype = at(A_MTYPE)
+            albx = at(A_ALBX)
+            alby = at(A_ALBY)
+            albz = at(A_ALBZ)
+            fuzz_v = at(A_FUZZ) if cfg.has_metal else None
+            ridx_v = at(A_RIDX) if cfg.has_dielectric else None
+            if cfg.R:
+                nx_ = jnp.where(use_rect, r_nxa, nx_)
+                ny_ = jnp.where(use_rect, r_nya, ny_)
+                nz_ = jnp.where(use_rect, r_nza, nz_)
+                mtype = jnp.where(use_rect, r_mt, mtype)
+                albx = jnp.where(use_rect, r_abx, albx)
+                alby = jnp.where(use_rect, r_aby, alby)
+                albz = jnp.where(use_rect, r_abz, albz)
+                if cfg.has_metal:
+                    fuzz_v = jnp.where(use_rect, r_fz, fuzz_v)
+                if cfg.has_dielectric:
+                    ridx_v = jnp.where(use_rect, r_ri, ridx_v)
+        else:
+            nx_, ny_, nz_ = r_nxa, r_nya, r_nza
+            mtype = r_mt
+            albx, alby, albz = r_abx, r_aby, r_abz
+            fuzz_v = r_fz
+            ridx_v = r_ri
 
         u = _uniforms(8, T, seed, tile, it, salt=2)
 
         # ---- lambertian: cosine sample about the normal ----
-        # (pdf == scattering_pdf with no lights list, so weight == albedo;
+        # (with no lights list pdf == scattering_pdf, so weight == albedo;
         # material.h:77-122 + pdf.h:15-33 degenerate mixture)
         r2 = u[1:2]
         z = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
@@ -298,22 +429,167 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
         phi = (2.0 * math.pi) * u[0:1]
         lx_t = jnp.cos(phi) * sq_
         ly_t = jnp.sin(phi) * sq_
-        # ONB from w = n (onb.h:32-38), branchless per-lane
-        bigx = jnp.abs(nx_) > 0.9
-        vx = jnp.where(bigx, -nz_, jnp.zeros_like(nx_))
-        vy = jnp.where(bigx, jnp.zeros_like(nx_), nz_)
-        vz = jnp.where(bigx, nx_, -ny_)
-        vinv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz + 1e-30)
-        vx = vx * vinv
-        vy = vy * vinv
-        vz = vz * vinv
-        ux_ = ny_ * vz - nz_ * vy
-        uy_ = nz_ * vx - nx_ * vz
-        uz_ = nx_ * vy - ny_ * vx
+        ux_, uy_, uz_, vx, vy, vz = _onb(nx_, ny_, nz_)
         lamx = lx_t * ux_ + ly_t * vx + z * nx_
         lamy = lx_t * uy_ + ly_t * vy + z * ny_
         lamz = lx_t * uz_ + ly_t * vz + z * nz_
         lam_ok = z > 0.0
+        lam_w = None
+
+        if cfg.L:
+            # ---- one-sample MIS: mixture(cosine_pdf, hittable_pdf(lights))
+            # (RayTracingWeekend.cpp:117-124, pdf.h:55-75; light kinds/axes
+            # are static so each light's sampler and pdf are unrolled) ----
+            ul = _uniforms(4, T, seed, tile, it, salt=3)
+            pickf = ul[0:1] * float(cfg.L)
+            ldx = jnp.zeros((1, T), jnp.float32)
+            ldy = jnp.zeros((1, T), jnp.float32)
+            ldz = jnp.zeros((1, T), jnp.float32)
+            for li in range(cfg.L):
+                def ll(kk, li=li):
+                    return light_ref[li, kk]
+
+                if cfg.light_kinds[li] == 0:
+                    # rect light: uniform point on the rect, through the
+                    # baked transform (hittable.h:224-228)
+                    pa_s = ll(LT_A0) + ul[1:2] * (ll(LT_A1) - ll(LT_A0))
+                    pb_s = ll(LT_B0) + ul[2:3] * (ll(LT_B1) - ll(LT_B0))
+                    kk_s = ll(LT_K)
+                    one_t = jnp.ones((1, T), jnp.float32)
+                    axl = cfg.light_axes[li]
+                    if axl == 0:
+                        ppx, ppy, ppz = pa_s, pb_s, kk_s * one_t
+                    elif axl == 1:
+                        ppx, ppy, ppz = pa_s, kk_s * one_t, pb_s
+                    else:
+                        ppx, ppy, ppz = kk_s * one_t, pa_s, pb_s
+                    if cfg.light_rot[li]:
+                        cth = ll(LT_COS)
+                        sth = ll(LT_SIN)
+                        wpx = cth * ppx + sth * ppz
+                        wpz = -sth * ppx + cth * ppz
+                        ppx, ppz = wpx, wpz
+                    if cfg.light_trans[li]:
+                        ppx = ppx + ll(LT_OFFX)
+                        ppy = ppy + ll(LT_OFFY)
+                        ppz = ppz + ll(LT_OFFZ)
+                    dlx = ppx - px_
+                    dly = ppy - py_
+                    dlz = ppz - pz_
+                else:
+                    # sphere light: cone sample (sphere.h:101-108,
+                    # utility.h:69-82)
+                    tcx = ll(LT_CX) - px_
+                    tcy = ll(LT_CY) - py_
+                    tcz = ll(LT_CZ) - pz_
+                    dist2 = tcx * tcx + tcy * tcy + tcz * tcz
+                    radl = ll(LT_RAD)
+                    ctm = jnp.sqrt(jnp.maximum(
+                        1.0 - radl * radl / jnp.maximum(dist2, 1e-20), 0.0))
+                    zc = 1.0 + ul[2:3] * (ctm - 1.0)
+                    phl = (2.0 * math.pi) * ul[1:2]
+                    sc = jnp.sqrt(jnp.maximum(1.0 - zc * zc, 0.0))
+                    winv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-20))
+                    wlx = tcx * winv
+                    wly = tcy * winv
+                    wlz = tcz * winv
+                    lux, luy, luz, lvx, lvy, lvz = _onb(wlx, wly, wlz)
+                    cph = jnp.cos(phl) * sc
+                    sph_ = jnp.sin(phl) * sc
+                    dlx = cph * lux + sph_ * lvx + zc * wlx
+                    dly = cph * luy + sph_ * lvy + zc * wly
+                    dlz = cph * luz + sph_ * lvz + zc * wlz
+                if cfg.L == 1:
+                    ldx, ldy, ldz = dlx, dly, dlz
+                else:
+                    sel = (pickf >= float(li)) & (pickf < float(li + 1))
+                    ldx = jnp.where(sel, dlx, ldx)
+                    ldy = jnp.where(sel, dly, ldy)
+                    ldz = jnp.where(sel, dlz, ldz)
+            coin_l = ul[3:4] < 0.5  # pdf.h:69-75
+            mdx = jnp.where(coin_l, lamx, ldx)
+            mdy = jnp.where(coin_l, lamy, ldy)
+            mdz = jnp.where(coin_l, lamz, ldz)
+            # pdf evaluation needs the unit direction (pdf.h:20-24)
+            minv = jax.lax.rsqrt(
+                jnp.maximum(mdx * mdx + mdy * mdy + mdz * mdz, 1e-30))
+            mux = mdx * minv
+            muy = mdy * minv
+            muz = mdz * minv
+            cosi = mux * nx_ + muy * ny_ + muz * nz_
+            cpdf = jnp.where(cosi <= 0.0, 0.0, cosi * (1.0 / math.pi))
+            # hittable_list::pdf_value: uniform average of per-light pdfs,
+            # each re-intersecting its shape (hittable.h:208-222,
+            # sphere.h:88-99)
+            acc = jnp.zeros((1, T), jnp.float32)
+            for li in range(cfg.L):
+                def ll(kk, li=li):
+                    return light_ref[li, kk]
+
+                if cfg.light_kinds[li] == 0:
+                    if cfg.light_rot[li]:
+                        cth = ll(LT_COS)
+                        sth = ll(LT_SIN)
+                        shx = px_ - ll(LT_OFFX)
+                        qoy = py_ - ll(LT_OFFY)
+                        shz = pz_ - ll(LT_OFFZ)
+                        qox = cth * shx - sth * shz
+                        qoz = sth * shx + cth * shz
+                        qdx = cth * mux - sth * muz
+                        qdz = sth * mux + cth * muz
+                        qdy = muy
+                    elif cfg.light_trans[li]:
+                        qox = px_ - ll(LT_OFFX)
+                        qoy = py_ - ll(LT_OFFY)
+                        qoz = pz_ - ll(LT_OFFZ)
+                        qdx, qdy, qdz = mux, muy, muz
+                    else:
+                        qox, qoy, qoz = px_, py_, pz_
+                        qdx, qdy, qdz = mux, muy, muz
+                    axl = cfg.light_axes[li]
+                    if axl == 0:
+                        q_a, q_b, q_n = qox, qoy, qoz
+                        w_a, w_b, w_n = qdx, qdy, qdz
+                    elif axl == 1:
+                        q_a, q_b, q_n = qox, qoz, qoy
+                        w_a, w_b, w_n = qdx, qdz, qdy
+                    else:
+                        q_a, q_b, q_n = qoy, qoz, qox
+                        w_a, w_b, w_n = qdy, qdz, qdx
+                    t_l = (ll(LT_K) - q_n) / w_n
+                    hpa = q_a + t_l * w_a
+                    hpb = q_b + t_l * w_b
+                    lh = ((t_l > t_min)
+                          & (hpa >= ll(LT_A0)) & (hpa <= ll(LT_A1))
+                          & (hpb >= ll(LT_B0)) & (hpb <= ll(LT_B1)))
+                    # unit probe dir: dist2 = t^2, cosine = |d_n|
+                    pdf_l = (t_l * t_l) / jnp.maximum(
+                        jnp.abs(w_n) * ll(LT_AREA), 1e-20)
+                else:
+                    ocxl = px_ - ll(LT_CX)
+                    ocyl = py_ - ll(LT_CY)
+                    oczl = pz_ - ll(LT_CZ)
+                    radl = ll(LT_RAD)
+                    b_l = ocxl * mux + ocyl * muy + oczl * muz
+                    d2l = ocxl * ocxl + ocyl * ocyl + oczl * oczl
+                    cc_l = d2l - radl * radl
+                    disc_l = b_l * b_l - cc_l
+                    sq_l = jnp.sqrt(jnp.maximum(disc_l, 0.0))
+                    tn_l = -b_l - sq_l
+                    t_l = jnp.where(tn_l > t_min, tn_l, -b_l + sq_l)
+                    lh = (disc_l > 0.0) & (t_l > t_min)
+                    ctm = jnp.sqrt(jnp.maximum(
+                        1.0 - radl * radl / jnp.maximum(d2l, 1e-20), 0.0))
+                    solid = (2.0 * math.pi) * (1.0 - ctm)
+                    pdf_l = 1.0 / jnp.maximum(solid, 1e-20)
+                acc = acc + jnp.where(lh, pdf_l, 0.0)
+            pdf_val = 0.5 * cpdf + 0.5 * acc * (1.0 / cfg.L)
+            lam_ok = pdf_val > 0.0
+            # weight = albedo * scattering_pdf / pdf_val; scattering_pdf is
+            # the same clamped cosine/pi as cpdf (material.h:115-119)
+            lam_w = jnp.where(lam_ok,
+                              cpdf / jnp.where(lam_ok, pdf_val, 1.0), 0.0)
+            lamx, lamy, lamz = mdx, mdy, mdz
 
         # ---- mirror reflection (shared by metal and dielectric) ----
         ddn = dx * nx_ + dy * ny_ + dz * nz_
@@ -330,7 +606,7 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
             # exp(log/3) (u == 0 maps to radius 0, the correct limit)
             radb = jnp.exp(jnp.log(jnp.maximum(u[4:5], 1e-30))
                            * (1.0 / 3.0))
-            fz = at(A_FUZZ)
+            fz = fuzz_v
             mex = rfx + fz * (rb * jnp.cos(phib) * radb)
             mey = rfy + fz * (rb * jnp.sin(phib) * radb)
             mez = rfz + fz * (zb * radb)
@@ -339,7 +615,7 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
 
         if cfg.has_dielectric:
             # dielectric with the corrected exit cosine (material.h:142-225)
-            ridx = at(A_RIDX)
+            ridx = ridx_v
             inside = ddn > 0.0
             sgn = jnp.where(inside, -1.0, 1.0)
             onx = sgn * nx_
@@ -372,7 +648,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
         # ---- select by material type ----
         is_lam = mtype < 0.5
         is_metal = (mtype > 0.5) & (mtype < 1.5)
-        is_diel = mtype > 1.5
+        is_diel = ((mtype > 1.5) & (mtype < 2.5) if cfg.has_light
+                   else mtype > 1.5)
         ndx = jnp.where(is_lam, lamx, jnp.where(is_metal, mex, dex))
         ndy = jnp.where(is_lam, lamy, jnp.where(is_metal, mey, dey))
         ndz = jnp.where(is_lam, lamz, jnp.where(is_metal, mez, dez))
@@ -380,12 +657,27 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, seed_ref,
         ndx = ndx * ninv
         ndy = ndy * ninv
         ndz = ndz * ninv
+        if lam_w is not None:
+            albx = jnp.where(is_lam, albx * lam_w, albx)
+            alby = jnp.where(is_lam, alby * lam_w, alby)
+            albz = jnp.where(is_lam, albz * lam_w, albz)
         wx = jnp.where(is_diel, 1.0, albx)
         wy = jnp.where(is_diel, 1.0, alby)
         wz = jnp.where(is_diel, 1.0, albz)
         # NOTE: no jnp.where on i1 vectors — Mosaic lowers bool select_n
         # through an i8->i1 trunci it does not support.
         scatter_ok = jnp.logical_or(jnp.logical_not(is_lam), lam_ok)
+        if cfg.has_light:
+            # ---- one-sided emission (diffuse_light, material.h:238-244):
+            # emits when the ray direction agrees with the normal; the
+            # emitted color rides the albedo lanes. Light hits end the path
+            # (scatter == false). ----
+            is_li = mtype > 2.5
+            emitm = active & hit & is_li & (ddn > 0.0)
+            rx = rx + jnp.where(emitm, tpx * albx, 0.0)
+            ry = ry + jnp.where(emitm, tpy * alby, 0.0)
+            rz = rz + jnp.where(emitm, tpz * albz, 0.0)
+            scatter_ok = scatter_ok & jnp.logical_not(is_li)
 
         # ---- background on miss (RayTracingWeekend.cpp:143-158) ----
         miss = active & jnp.logical_not(hit)
@@ -477,21 +769,21 @@ class _Cfg:
 
 
 def supports_scene(scene: st.Scene) -> bool:
-    """True when the megakernel covers this scene: spheres only, no lights
-    (MIS), constant textures, shaded render type."""
-    return (scene.rects.count() == 0
-            and scene.bvh is None  # BVH scenes route through closest_hit
+    """True when the megakernel covers this scene: sphere/rect geometry,
+    constant textures, any background, lights + one-sample MIS included
+    (rect and sphere lights). Out of scope: constant media, procedural /
+    image textures, normal-debug rendering, non-MIS diffuse strategies."""
+    return (scene.bvh is None  # BVH scenes route through closest_hit
             and scene.media.count() == 0
-            and scene.lights.num == 0
             and not scene.has_noise_tex
             and not scene.has_image_tex
             and not scene.has_checker_tex
             and not scene.needs_legacy_textures
             and scene.render_type == st.RENDER_SHADED
-            and scene.background == st.BG_GRADIENT
             and not scene.has_isotropic
-            and not scene.has_lights_mat
-            and scene.spheres.count() > 0)
+            and scene.lambertian_strategy == "mis"
+            and int(np.sum(np.asarray(scene.spheres.active))
+                    + np.sum(np.asarray(scene.rects.active))) > 0)
 
 
 def _morton_order(centers: np.ndarray) -> np.ndarray:
@@ -554,7 +846,8 @@ def build_tables(scene: st.Scene, SB: int = 64):
     mat = np.asarray(sph.mat)
 
     live = np.nonzero(act)[0]
-    order = live[_morton_order(c0[live])]
+    order = (live[_morton_order(c0[live])] if live.size
+             else live.astype(np.int32))
     n = order.size
     S = max(SB, ((n + SB - 1) // SB) * SB)
     C = S // SB
@@ -616,6 +909,89 @@ def build_tables(scene: st.Scene, SB: int = 64):
         clus_tab[c, K_MINX:K_MINZ + 1] = los[sl].min(axis=0)
         clus_tab[c, K_MAXX:K_MAXZ + 1] = his[sl].max(axis=0)
 
+    # ---- rect table + static per-rect axis/transform metadata ----
+    mt_np = np.asarray(mats.mtype)
+    tex_np = np.asarray(mats.tex)
+    col_np = np.asarray(tex.color, np.float32)
+    fuzz_np = np.asarray(mats.fuzz, np.float32)
+    ridx_np = np.asarray(mats.ref_idx, np.float32)
+    rects = scene.rects
+    rlive = np.nonzero(np.asarray(rects.active))[0]
+    R = int(rlive.size)
+    rect_tab = np.zeros((max(R, 1), RECT_LANES), np.float32)
+    rect_axes, rect_rot, rect_trans = [], [], []
+    r_axis = np.asarray(rects.axis)
+    r_flip = np.asarray(rects.flip, np.float32)
+    r_cos = np.asarray(rects.cos_t, np.float32)
+    r_sin = np.asarray(rects.sin_t, np.float32)
+    r_off = np.asarray(rects.offset, np.float32)
+    r_mat = np.asarray(rects.mat)
+    for i, rr in enumerate(rlive):
+        ax = int(r_axis[rr])
+        rect_axes.append(ax)
+        ct_, st_ = float(r_cos[rr]), float(r_sin[rr])
+        rot = (ct_ != 1.0) or (st_ != 0.0)
+        rect_rot.append(rot)
+        rect_trans.append(bool(np.any(r_off[rr] != 0.0)))
+        fl = float(r_flip[rr])
+        # object-space unit normal by axis code, rotated object->world
+        # exactly as closest_hit does (geometry.py rect normals)
+        n_o = [0.0, 0.0, 0.0]
+        n_o[2 - ax if ax != 2 else 0] = fl  # XY->z, XZ->y, YZ->x
+        nw = (ct_ * n_o[0] + st_ * n_o[2], n_o[1],
+              -st_ * n_o[0] + ct_ * n_o[2])
+        mi = int(r_mat[rr])
+        alb = col_np[int(tex_np[mi])]
+        for lane, v in ((RT_A0, rects.a0), (RT_A1, rects.a1),
+                        (RT_B0, rects.b0), (RT_B1, rects.b1),
+                        (RT_K, rects.k)):
+            rect_tab[i, lane] = float(np.asarray(v)[rr])
+        rect_tab[i, RT_COS] = ct_
+        rect_tab[i, RT_SIN] = st_
+        rect_tab[i, RT_OFFX:RT_OFFZ + 1] = r_off[rr]
+        rect_tab[i, RT_NX:RT_NZ + 1] = nw
+        rect_tab[i, RT_MTYPE] = float(mt_np[mi])
+        rect_tab[i, RT_ALBX:RT_ALBZ + 1] = alb
+        rect_tab[i, RT_FUZZ] = fuzz_np[mi]
+        rect_tab[i, RT_RIDX] = ridx_np[mi]
+
+    # ---- light table + static per-light kind/axis metadata ----
+    lights = scene.lights
+    L = int(lights.num)
+    light_tab = np.zeros((max(L, 1), LIGHT_LANES), np.float32)
+    light_kinds, light_axes, light_rot, light_trans = [], [], [], []
+    l_kind = np.asarray(lights.kind)
+    l_idx = np.asarray(lights.index)
+    for i in range(L):
+        kindl = int(l_kind[i])
+        light_kinds.append(kindl)
+        if kindl == st.LIGHT_RECT:
+            rr = int(l_idx[i])
+            light_axes.append(int(r_axis[rr]))
+            ct_, st_ = float(r_cos[rr]), float(r_sin[rr])
+            light_rot.append((ct_ != 1.0) or (st_ != 0.0))
+            light_trans.append(bool(np.any(r_off[rr] != 0.0)))
+            for lane, v in ((LT_A0, rects.a0), (LT_A1, rects.a1),
+                            (LT_B0, rects.b0), (LT_B1, rects.b1),
+                            (LT_K, rects.k)):
+                light_tab[i, lane] = float(np.asarray(v)[rr])
+            light_tab[i, LT_COS] = ct_
+            light_tab[i, LT_SIN] = st_
+            light_tab[i, LT_OFFX:LT_OFFZ + 1] = r_off[rr]
+            light_tab[i, LT_AREA] = float(
+                (np.asarray(rects.a1)[rr] - np.asarray(rects.a0)[rr])
+                * (np.asarray(rects.b1)[rr] - np.asarray(rects.b0)[rr]))
+        else:
+            si = int(l_idx[i])
+            light_axes.append(0)
+            light_rot.append(False)
+            light_trans.append(False)
+            light_tab[i, LT_CX:LT_CZ + 1] = c0[si]
+            light_tab[i, LT_RAD] = float(rad[si])
+
+    has_light = bool((R and np.any(mt_np[r_mat[rlive]] == st.MAT_DIFFUSE_LIGHT))
+                     or (n and np.any(mtype[:n] == st.MAT_DIFFUSE_LIGHT)))
+
     cam = scene.camera
     cam_vec = np.zeros((1, 128), np.float32)
     for lane, v in ((CAM_OX, cam.origin), (CAM_LLX, cam.lower_left_corner),
@@ -631,14 +1007,22 @@ def build_tables(scene: st.Scene, SB: int = 64):
                 lens=float(cam.lens_radius) > 0.0,
                 has_metal=bool(scene.has_metal),
                 has_dielectric=bool(scene.has_dielectric),
-                bg_gradient=scene.background == st.BG_GRADIENT)
+                bg_gradient=scene.background == st.BG_GRADIENT,
+                has_spheres=n > 0,
+                has_light=has_light,
+                R=R, rect_axes=tuple(rect_axes),
+                rect_rot=tuple(rect_rot), rect_trans=tuple(rect_trans),
+                L=L, light_kinds=tuple(light_kinds),
+                light_axes=tuple(light_axes), light_rot=tuple(light_rot),
+                light_trans=tuple(light_trans))
     return (jnp.asarray(sph_tab), jnp.asarray(attr_tab),
-            jnp.asarray(clus_tab), jnp.asarray(cam_vec), meta)
+            jnp.asarray(clus_tab), jnp.asarray(rect_tab),
+            jnp.asarray(light_tab), jnp.asarray(cam_vec), meta)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tiles", "interpret"))
-def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, seed, *,
-               cfg: _Cfg, n_tiles: int, interpret: bool):
+def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
+               light_tab, seed, *, cfg: _Cfg, n_tiles: int, interpret: bool):
     T = cfg.T
     S = cfg.S
     kern = functools.partial(_kernel, cfg=cfg)
@@ -657,6 +1041,10 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, seed, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cfg.C, CLUS_LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(cfg.R, 1), RECT_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(cfg.L, 1), LIGHT_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -673,7 +1061,7 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, seed, *,
         # pltpu.prng_*, so CPU tests can run the full kernel.
         interpret=pltpu.InterpretParams() if interpret else False,
     )(pixf.reshape(n_tiles, 4, T), cam_vec, sph_tab, attr_tab, clus_tab,
-      seed)
+      rect_tab, light_tab, seed)
     return out
 
 
@@ -719,8 +1107,12 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     assert supports_scene(scene), "scene not supported by the megakernel"
     k = slots_per_pixel
     assert spp % k == 0, (spp, k)
-    sph_tab, attr_tab, clus_tab, cam_vec, meta = build_tables_cached(scene,
-                                                                     SB)
+    # Tiny sphere tables (e.g. the one glass ball in cornell_box) shrink to
+    # one 8-sublane cluster rather than paying an SB-row quadratic.
+    n_live = int(np.sum(np.asarray(scene.spheres.active)))
+    SB = min(SB, max(8, -(-n_live // 8) * 8))
+    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, cam_vec,
+     meta) = build_tables_cached(scene, SB)
     # Keep the candidate-t scratch (S, T) within a conservative VMEM slice
     # for big sphere tables (T=4096-class shapes measurably spill).
     S_padded = meta["S"]
@@ -736,11 +1128,19 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                t_min=0.001, moving=meta["moving"], lens=meta["lens"],
                has_metal=meta["has_metal"],
                has_dielectric=meta["has_dielectric"],
-               bg_gradient=meta["bg_gradient"])
+               bg_gradient=meta["bg_gradient"],
+               has_spheres=meta["has_spheres"],
+               has_light=meta["has_light"],
+               R=meta["R"], rect_axes=meta["rect_axes"],
+               rect_rot=meta["rect_rot"], rect_trans=meta["rect_trans"],
+               L=meta["L"], light_kinds=meta["light_kinds"],
+               light_axes=meta["light_axes"], light_rot=meta["light_rot"],
+               light_trans=meta["light_trans"])
     seed = jax.random.randint(key, (1, 1), 0, np.int32(2 ** 31 - 1),
                               dtype=jnp.int32)
-    out = _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, seed,
-                     cfg=cfg, n_tiles=n_tiles, interpret=interpret)
+    out = _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
+                     light_tab, seed, cfg=cfg, n_tiles=n_tiles,
+                     interpret=interpret)
     Tp = T // k
     blocked = (out[:, 0:3, :].transpose(0, 2, 1)
                .reshape(n_tiles, k, Tp, 3).sum(axis=1)

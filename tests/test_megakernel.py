@@ -64,14 +64,40 @@ def test_slots_per_pixel_agrees():
 
 
 def test_supports_scene_gates():
-    assert not mk.supports_scene(make_scene("cornell_box", 1.0))
+    assert mk.supports_scene(make_scene("cornell_box", 1.0))
+    assert not mk.supports_scene(make_scene("cornell_smoke", 1.0))  # media
     assert not mk.supports_scene(make_scene("two_perlin_spheres", 1.0))
+    assert not mk.supports_scene(make_scene("light_sample", 1.0))  # noise tex
     assert mk.supports_scene(make_scene("random_balls", 1.0))
+
+
+@pytest.mark.parametrize("variant", ["glass", "boxes_aluminum"])
+def test_mega_cornell_matches_wavefront_statistically(variant):
+    """Rect walls + rotated boxes + rect/sphere lights + MIS through the
+    megakernel vs the wavefront integrator (different RNG streams:
+    statistical agreement)."""
+    kwargs = (dict(glass_sphere=True) if variant == "glass"
+              else dict(glass_sphere=False, aluminum_box=True))
+    scene = make_scene("cornell_box", 1.0, **kwargs)
+    assert mk.supports_scene(scene)
+    nx = ny = 24
+    spp = 24
+    img, segs = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=12,
+                              T=128, interpret=True)
+    img = np.asarray(img) / spp
+    ref = np.asarray(render_chunk(scene, KEY, nx, ny, spp, 12)) / spp
+    assert float(segs) > nx * ny * spp
+    # Cornell means sit ~0.2-0.4; the light makes per-pixel variance much
+    # higher than the sky scenes, hence the looser block gate.
+    np.testing.assert_allclose(img.mean(axis=(0, 1)), ref.mean(axis=(0, 1)),
+                               atol=0.06)
+    assert np.abs(_blocks(img, 4) - _blocks(ref, 4)).max() < 0.35
 
 
 def test_cluster_tables_cover_motion():
     scene = make_scene("random_balls", 1.0)
-    sph_tab, attr_tab, clus_tab, cam_vec, meta = mk.build_tables(scene, 64)
+    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, cam_vec,
+     meta) = mk.build_tables(scene, 64)
     S, C = meta["S"], meta["C"]
     assert S % 64 == 0 and C == S // 64
     sph = scene.spheres

@@ -1,0 +1,59 @@
+"""Megakernel throughput on any supported scene (real TPU).
+
+    python tools/mega_perf.py --scene cornell_box --nx 400 --ny 400 --spp 256
+
+Reports path segments/s using the tunnel-safe discipline (host transfer of
+the segment count forces the sync; steady state after two warmup launches).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="cornell_box")
+    ap.add_argument("--nx", type=int, default=400)
+    ap.add_argument("--ny", type=int, default=400)
+    ap.add_argument("--spp", type=int, default=256)
+    ap.add_argument("--max-depth", type=int, default=50)
+    ap.add_argument("--launches", type=int, default=2)
+    ap.add_argument("--T", type=int, default=2048)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from raytracingweekend_tpu.models.scenes import make_scene
+    from raytracingweekend_tpu.ops import megakernel as mk
+
+    scene = make_scene(args.scene, args.nx / args.ny)
+    assert mk.supports_scene(scene), args.scene
+
+    def launch(k):
+        return mk.trace_mega(k, scene, args.nx, args.ny, args.spp,
+                             max_depth=args.max_depth, T=args.T)
+
+    key = jax.random.key(0)
+    for w in range(2):  # compile, then absorb one-time dispatch
+        _, seg = launch(jax.random.fold_in(key, 900 + w))
+        _ = float(seg)
+    total = 0.0
+    t0 = time.perf_counter()
+    for i in range(args.launches):
+        _, seg = launch(jax.random.fold_in(key, i))
+        total += float(seg)
+    dt = time.perf_counter() - t0
+    rate = total / dt
+    print(f"{args.scene} {args.nx}x{args.ny}@{args.spp}spp T={args.T}: "
+          f"{total / 1e6:.1f}M segments in {dt:.3f}s = "
+          f"{rate / 1e6:.1f} M segments/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
