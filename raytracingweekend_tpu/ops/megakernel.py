@@ -13,9 +13,10 @@ keeps a tile of rays' full bounce state in VMEM and runs
 
 entirely on-chip, with in-kernel RNG (pltpu.prng_*). It is the TPU-native
 rebuild of the reference's hot loop — the recursive color() at
-RayTracingWeekend.cpp:45-160 over hittable_list.h:11-37 — for sphere scenes
-without lights (random_balls / dielectric / checker_spheres class scenes,
-i.e. books 1-2 minus rect lights); rect/light scenes keep the wavefront path.
+RayTracingWeekend.cpp:45-160 over hittable_list.h:11-37 — covering sphere
+scenes (random_balls / dielectric) AND rect/light scenes with one-sample
+MIS (cornell_box and variants). Procedural/image textures and constant
+media keep the wavefront path (see supports_scene).
 
 Design notes:
 - Rays live as (1, T) lane rows (T = tile width). Sphere intersection is

@@ -103,9 +103,9 @@ def render_chunk_tiled(scene: st.Scene, key, nx: int, ny: int,
 def render_chunk_mega(scene: st.Scene, key, nx: int, ny: int,
                       chunk_spp: int, max_depth: int = 100):
     """Radiance sums via the fused Pallas megakernel (ops/megakernel.py) —
-    the fastest TPU path for sphere scenes without lights. Host-side table
-    prep is eager; on CPU/GPU backends the kernel runs under the TPU
-    interpreter (slow — for functional verification only).
+    the fastest TPU path for sphere and rect/light scenes (incl. MIS).
+    Host-side table prep is eager; on CPU/GPU backends the kernel runs
+    under the TPU interpreter (slow — for functional verification only).
     Returns ((ny, nx, 3) sums, segment count)."""
     from .ops import megakernel as mk
     interp = jax.default_backend() in ("cpu", "gpu")
