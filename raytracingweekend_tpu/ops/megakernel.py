@@ -50,10 +50,14 @@ from ..models import scene_types as st
 BIG = 3.0e37
 _HIT_CUT = 1.0e30  # best_t above this == miss
 
-# ---- attribute-extraction table rows: (16, S), attribute-major ----
+# ---- attribute-extraction table rows: (24, S), attribute-major ----
+# Rows 16-23 carry the checker-texture children (texture.h:29-50): CHK is
+# 1.0 on checker-textured primitives, EVEN/ODD their baked child colors.
 (A_CX, A_CY, A_CZ, A_DCX, A_DCY, A_DCZ, A_T0, A_IDT, A_RINV, A_MTYPE,
- A_ALBX, A_ALBY, A_ALBZ, A_FUZZ, A_RIDX, A_SPARE) = range(16)
-A_ROWS = 16
+ A_ALBX, A_ALBY, A_ALBZ, A_FUZZ, A_RIDX, A_SPARE,
+ A_CHK, A_EVENX, A_EVENY, A_EVENZ, A_ODDX, A_ODDY, A_ODDZ,
+ A_SPARE2) = range(24)
+A_ROWS = 24
 
 # ---- intersect-table lanes: (S, 128), sphere-major (pallas_intersect) ----
 (C_CX, C_CY, C_CZ, C_DCX, C_DCY, C_DCZ, C_T0, C_IDT, C_R2, C_ACT) = range(10)
@@ -70,7 +74,8 @@ CLUS_LANES = 128
 # after baking flip+rotate_y) is three table lanes.
 (RT_A0, RT_A1, RT_B0, RT_B1, RT_K, RT_COS, RT_SIN, RT_OFFX, RT_OFFY,
  RT_OFFZ, RT_NX, RT_NY, RT_NZ, RT_MTYPE, RT_ALBX, RT_ALBY, RT_ALBZ,
- RT_FUZZ, RT_RIDX) = range(19)
+ RT_FUZZ, RT_RIDX, RT_CHK, RT_EVENX, RT_EVENY, RT_EVENZ, RT_ODDX,
+ RT_ODDY, RT_ODDZ) = range(26)
 RECT_LANES = 128
 
 # ---- light-table lanes: (L, 128), light-major (kind/axis are static) ----
@@ -307,6 +312,13 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             r_abz = zz1
             r_fz = zz1
             r_ri = zz1
+            r_chk = zz1
+            r_evx = zz1
+            r_evy = zz1
+            r_evz = zz1
+            r_odx = zz1
+            r_ody = zz1
+            r_odz = zz1
             for ri in range(cfg.R):
                 def rl(kk, ri=ri):
                     return rect_ref[ri, kk]
@@ -360,6 +372,14 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     r_fz = jnp.where(okr, rl(RT_FUZZ), r_fz)
                 if cfg.has_dielectric:
                     r_ri = jnp.where(okr, rl(RT_RIDX), r_ri)
+                if cfg.has_checker:
+                    r_chk = jnp.where(okr, rl(RT_CHK), r_chk)
+                    r_evx = jnp.where(okr, rl(RT_EVENX), r_evx)
+                    r_evy = jnp.where(okr, rl(RT_EVENY), r_evy)
+                    r_evz = jnp.where(okr, rl(RT_EVENZ), r_evz)
+                    r_odx = jnp.where(okr, rl(RT_ODDX), r_odx)
+                    r_ody = jnp.where(okr, rl(RT_ODDY), r_ody)
+                    r_odz = jnp.where(okr, rl(RT_ODDZ), r_odz)
             use_rect = rb_t < s_best
             best_t = jnp.minimum(s_best, rb_t)
         else:
@@ -400,6 +420,10 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             albz = at(A_ALBZ)
             fuzz_v = at(A_FUZZ) if cfg.has_metal else None
             ridx_v = at(A_RIDX) if cfg.has_dielectric else None
+            if cfg.has_checker:
+                chk_v = at(A_CHK)
+                evx_v, evy_v, evz_v = at(A_EVENX), at(A_EVENY), at(A_EVENZ)
+                odx_v, ody_v, odz_v = at(A_ODDX), at(A_ODDY), at(A_ODDZ)
             if cfg.R:
                 nx_ = jnp.where(use_rect, r_nxa, nx_)
                 ny_ = jnp.where(use_rect, r_nya, ny_)
@@ -412,12 +436,38 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     fuzz_v = jnp.where(use_rect, r_fz, fuzz_v)
                 if cfg.has_dielectric:
                     ridx_v = jnp.where(use_rect, r_ri, ridx_v)
+                if cfg.has_checker:
+                    chk_v = jnp.where(use_rect, r_chk, chk_v)
+                    evx_v = jnp.where(use_rect, r_evx, evx_v)
+                    evy_v = jnp.where(use_rect, r_evy, evy_v)
+                    evz_v = jnp.where(use_rect, r_evz, evz_v)
+                    odx_v = jnp.where(use_rect, r_odx, odx_v)
+                    ody_v = jnp.where(use_rect, r_ody, ody_v)
+                    odz_v = jnp.where(use_rect, r_odz, odz_v)
         else:
             nx_, ny_, nz_ = r_nxa, r_nya, r_nza
             mtype = r_mt
             albx, alby, albz = r_abx, r_aby, r_abz
             fuzz_v = r_fz
             ridx_v = r_ri
+            if cfg.has_checker:
+                chk_v = r_chk
+                evx_v, evy_v, evz_v = r_evx, r_evy, r_evz
+                odx_v, ody_v, odz_v = r_odx, r_ody, r_odz
+
+        if cfg.has_checker:
+            # checker::value (texture.h:35-46): the sign of the product of
+            # sines at the hit point picks the child color
+            sines = (jnp.sin(10.0 * px_) * jnp.sin(10.0 * py_)
+                     * jnp.sin(10.0 * pz_))
+            is_chk = chk_v > 0.5
+            use_odd = is_chk & (sines < 0.0)
+            albx = jnp.where(use_odd, odx_v,
+                             jnp.where(is_chk, evx_v, albx))
+            alby = jnp.where(use_odd, ody_v,
+                             jnp.where(is_chk, evy_v, alby))
+            albz = jnp.where(use_odd, odz_v,
+                             jnp.where(is_chk, evz_v, albz))
 
         u = _uniforms(8, T, seed, tile, it, salt=2)
 
@@ -778,7 +828,6 @@ def supports_scene(scene: st.Scene) -> bool:
             and scene.media.count() == 0
             and not scene.has_noise_tex
             and not scene.has_image_tex
-            and not scene.has_checker_tex
             and not scene.needs_legacy_textures
             and scene.render_type == st.RENDER_SHADED
             and not scene.has_isotropic
@@ -888,6 +937,13 @@ def build_tables(scene: st.Scene, SB: int = 64):
     fuzz = np.asarray(mats.fuzz, np.float32)[matp]
     ridx = np.asarray(mats.ref_idx, np.float32)[matp]
     rinv = np.where(radp != 0, 1.0 / np.where(radp != 0, radp, 1.0), 0.0)
+    # checker children (constant colors — the only form the packed rows
+    # support; needs_legacy_textures gates anything deeper out of the mega)
+    ttype_np = np.asarray(tex.ttype)
+    col_all = np.asarray(tex.color, np.float32)
+    chk = (ttype_np[ti] == st.TEX_CHECKER).astype(np.float32)
+    evc = col_all[np.asarray(tex.even)[ti]]
+    odc = col_all[np.asarray(tex.odd)[ti]]
 
     attr_tab = np.zeros((A_ROWS, S), np.float32)
     for row, v in ((A_CX, c0p[:, 0]), (A_CY, c0p[:, 1]), (A_CZ, c0p[:, 2]),
@@ -895,7 +951,12 @@ def build_tables(scene: st.Scene, SB: int = 64):
                    (A_T0, t0p), (A_IDT, idt), (A_RINV, rinv),
                    (A_MTYPE, mtype.astype(np.float32)),
                    (A_ALBX, alb[:, 0]), (A_ALBY, alb[:, 1]),
-                   (A_ALBZ, alb[:, 2]), (A_FUZZ, fuzz), (A_RIDX, ridx)):
+                   (A_ALBZ, alb[:, 2]), (A_FUZZ, fuzz), (A_RIDX, ridx),
+                   (A_CHK, chk),
+                   (A_EVENX, evc[:, 0]), (A_EVENY, evc[:, 1]),
+                   (A_EVENZ, evc[:, 2]),
+                   (A_ODDX, odc[:, 0]), (A_ODDY, odc[:, 1]),
+                   (A_ODDZ, odc[:, 2])):
         attr_tab[row] = v
 
     # cluster AABBs over the motion-swept spheres
@@ -942,7 +1003,14 @@ def build_tables(scene: st.Scene, SB: int = 64):
         nw = (ct_ * n_o[0] + st_ * n_o[2], n_o[1],
               -st_ * n_o[0] + ct_ * n_o[2])
         mi = int(r_mat[rr])
-        alb = col_np[int(tex_np[mi])]
+        ti_r = int(tex_np[mi])
+        alb = col_np[ti_r]
+        if int(np.asarray(tex.ttype)[ti_r]) == st.TEX_CHECKER:
+            rect_tab[i, RT_CHK] = 1.0
+            rect_tab[i, RT_EVENX:RT_EVENZ + 1] = \
+                col_np[int(np.asarray(tex.even)[ti_r])]
+            rect_tab[i, RT_ODDX:RT_ODDZ + 1] = \
+                col_np[int(np.asarray(tex.odd)[ti_r])]
         for lane, v in ((RT_A0, rects.a0), (RT_A1, rects.a1),
                         (RT_B0, rects.b0), (RT_B1, rects.b1),
                         (RT_K, rects.k)):
@@ -1011,6 +1079,7 @@ def build_tables(scene: st.Scene, SB: int = 64):
                 bg_gradient=scene.background == st.BG_GRADIENT,
                 has_spheres=n > 0,
                 has_light=has_light,
+                has_checker=bool(scene.has_checker_tex),
                 R=R, rect_axes=tuple(rect_axes),
                 rect_rot=tuple(rect_rot), rect_trans=tuple(rect_trans),
                 L=L, light_kinds=tuple(light_kinds),
@@ -1132,6 +1201,7 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                bg_gradient=meta["bg_gradient"],
                has_spheres=meta["has_spheres"],
                has_light=meta["has_light"],
+               has_checker=meta["has_checker"],
                R=meta["R"], rect_axes=meta["rect_axes"],
                rect_rot=meta["rect_rot"], rect_trans=meta["rect_trans"],
                L=meta["L"], light_kinds=meta["light_kinds"],

@@ -19,14 +19,15 @@ def _blocks(a, n=8):
     return a.reshape(n, ny // n, n, nx // n, 3).mean(axis=(1, 3))
 
 
-@pytest.mark.parametrize("name", ["dielectric", "random_balls"])
+@pytest.mark.parametrize("name", ["dielectric", "random_balls",
+                                  "checker_spheres"])
 def test_mega_matches_wavefront_statistically(name):
     scene = make_scene(name, 1.0)
     assert mk.supports_scene(scene)
     nx = ny = 32
     spp = 8
     img, segs = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=20,
-                              T=128, SB=32 if name == "dielectric" else 64,
+                              T=128, SB=64 if name == "random_balls" else 32,
                               interpret=True)
     img = np.asarray(img) / spp
     ref = np.asarray(render_chunk(scene, KEY, nx, ny, spp, 20)) / spp
