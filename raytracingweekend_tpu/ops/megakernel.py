@@ -83,6 +83,14 @@ RECT_LANES = 128
  LT_OFFZ, LT_AREA, LT_CX, LT_CY, LT_CZ, LT_RAD) = range(15)
 LIGHT_LANES = 128
 
+# ---- constant-medium lanes: (V, 128), medium-major (kind/transform
+# presence static per medium). P0/P1 = sphere center/(radius,0,0) or box
+# min/max; NIRHO = -1/density. ----
+(MD_P0X, MD_P0Y, MD_P0Z, MD_P1X, MD_P1Y, MD_P1Z, MD_COS, MD_SIN,
+ MD_OFFX, MD_OFFY, MD_OFFZ, MD_NIRHO, MD_ALBX, MD_ALBY,
+ MD_ALBZ) = range(15)
+MED_LANES = 128
+
 # ---- camera parameter lanes: (1, 128) ----
 (CAM_OX, CAM_OY, CAM_OZ, CAM_LLX, CAM_LLY, CAM_LLZ, CAM_HX, CAM_HY, CAM_HZ,
  CAM_VX, CAM_VY, CAM_VZ, CAM_UX, CAM_UY, CAM_UZ, CAM_WX, CAM_WY, CAM_WZ,
@@ -146,7 +154,7 @@ def _onb(wx, wy, wz):
 
 
 def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
-            light_ref, seed_ref, out_ref, tc_ref, sf_ref, *, cfg):
+            light_ref, med_ref, seed_ref, out_ref, tc_ref, sf_ref, *, cfg):
     """One tile: T per-pixel slots, each tracing cfg.spp full paths."""
     T = cfg.T
     SB = cfg.SB
@@ -384,6 +392,81 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             best_t = jnp.minimum(s_best, rb_t)
         else:
             best_t = s_best
+
+        # ---- unrolled constant-medium candidates (hittable.h:430-479):
+        # stochastic scatter distance inside a convex boundary; competition
+        # with surfaces happens through the global min exactly like the
+        # wavefront hit_media ----
+        if cfg.V:
+            md_t = jnp.full((1, T), BIG, jnp.float32)
+            zzm = jnp.zeros((1, T), jnp.float32)
+            m_abx = zzm
+            m_aby = zzm
+            m_abz = zzm
+            um = _uniforms(cfg.V, T, seed, tile, it, salt=4)
+            for vi in range(cfg.V):
+                def ml(kk, vi=vi):
+                    return med_ref[vi, kk]
+
+                if cfg.med_rot[vi]:
+                    cth = ml(MD_COS)
+                    sth = ml(MD_SIN)
+                    shx = ox - ml(MD_OFFX)
+                    moy = oy - ml(MD_OFFY)
+                    shz = oz - ml(MD_OFFZ)
+                    mox = cth * shx - sth * shz
+                    moz = sth * shx + cth * shz
+                    mdx = cth * dx - sth * dz
+                    mdz = sth * dx + cth * dz
+                    mdy = dy
+                elif cfg.med_trans[vi]:
+                    mox = ox - ml(MD_OFFX)
+                    moy = oy - ml(MD_OFFY)
+                    moz = oz - ml(MD_OFFZ)
+                    mdx, mdy, mdz = dx, dy, dz
+                else:
+                    mox, moy, moz = ox, oy, oz
+                    mdx, mdy, mdz = dx, dy, dz
+                if cfg.med_kinds[vi] == 0:  # sphere boundary (a = 1)
+                    ocx = mox - ml(MD_P0X)
+                    ocy = moy - ml(MD_P0Y)
+                    ocz = moz - ml(MD_P0Z)
+                    bq = ocx * mdx + ocy * mdy + ocz * mdz
+                    rq = ml(MD_P1X)
+                    ccq = ocx * ocx + ocy * ocy + ocz * ocz - rq * rq
+                    dq = bq * bq - ccq
+                    sqq = jnp.sqrt(jnp.maximum(dq, 0.0))
+                    m_in = -bq - sqq
+                    m_out = -bq + sqq
+                    m_bh = dq > 0.0
+                else:  # box boundary: signed-range slab (aabb.h:17-47)
+                    ivx = 1.0 / mdx
+                    ivy = 1.0 / mdy
+                    ivz = 1.0 / mdz
+                    tx0 = (ml(MD_P0X) - mox) * ivx
+                    tx1 = (ml(MD_P1X) - mox) * ivx
+                    ty0 = (ml(MD_P0Y) - moy) * ivy
+                    ty1 = (ml(MD_P1Y) - moy) * ivy
+                    tz0 = (ml(MD_P0Z) - moz) * ivz
+                    tz1 = (ml(MD_P1Z) - moz) * ivz
+                    m_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                                   jnp.minimum(ty0, ty1)),
+                                       jnp.minimum(tz0, tz1))
+                    m_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                                    jnp.maximum(ty0, ty1)),
+                                        jnp.maximum(tz0, tz1))
+                    m_bh = m_out > m_in
+                m_in = jnp.maximum(m_in, t_min)
+                tci = m_in + ml(MD_NIRHO) * jnp.log(
+                    jnp.maximum(um[vi:vi + 1], 1e-38))
+                okm = (m_bh & (m_in < m_out) & (tci < m_out)
+                       & (tci < md_t))
+                md_t = jnp.where(okm, tci, md_t)
+                m_abx = jnp.where(okm, ml(MD_ALBX), m_abx)
+                m_aby = jnp.where(okm, ml(MD_ALBY), m_aby)
+                m_abz = jnp.where(okm, ml(MD_ALBZ), m_abz)
+            use_med = md_t < best_t
+            best_t = jnp.minimum(best_t, md_t)
         hit = best_t < _HIT_CUT
 
         px_ = ox + best_t * dx
@@ -454,6 +537,16 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 chk_v = r_chk
                 evx_v, evy_v, evz_v = r_evx, r_evy, r_evz
                 odx_v, ody_v, odz_v = r_odx, r_ody, r_odz
+
+        if cfg.V:
+            # medium scatter vertex: isotropic material, arbitrary normal
+            # (hittable.h:469-473); albedo from the medium row
+            mtype = jnp.where(use_med, float(4), mtype)
+            albx = jnp.where(use_med, m_abx, albx)
+            alby = jnp.where(use_med, m_aby, alby)
+            albz = jnp.where(use_med, m_abz, albz)
+            if cfg.has_checker:
+                chk_v = jnp.where(use_med, 0.0, chk_v)
 
         if cfg.has_checker:
             # checker::value (texture.h:35-46): the sign of the product of
@@ -648,8 +741,10 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         rfy = dy - 2.0 * ddn * ny_
         rfz = dz - 2.0 * ddn * nz_
 
-        if cfg.has_metal:
-            # metal: fuzz * point-in-unit-ball (material.h:124-140)
+        if cfg.has_metal or cfg.has_iso:
+            # point-in-unit-ball, shared by metal fuzz (material.h:124-140)
+            # and isotropic scatter (material.h:252-265) — a lane is at most
+            # one of the two, so reusing the draws keeps them independent
             zb = 1.0 - 2.0 * u[2:3]
             rb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
             phib = (2.0 * math.pi) * u[3:4]
@@ -657,10 +752,14 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             # exp(log/3) (u == 0 maps to radius 0, the correct limit)
             radb = jnp.exp(jnp.log(jnp.maximum(u[4:5], 1e-30))
                            * (1.0 / 3.0))
+            ballx = rb * jnp.cos(phib) * radb
+            bally = rb * jnp.sin(phib) * radb
+            ballz = zb * radb
+        if cfg.has_metal:
             fz = fuzz_v
-            mex = rfx + fz * (rb * jnp.cos(phib) * radb)
-            mey = rfy + fz * (rb * jnp.sin(phib) * radb)
-            mez = rfz + fz * (zb * radb)
+            mex = rfx + fz * ballx
+            mey = rfy + fz * bally
+            mez = rfz + fz * ballz
         else:
             mex, mey, mez = rfx, rfy, rfz
 
@@ -699,11 +798,16 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         # ---- select by material type ----
         is_lam = mtype < 0.5
         is_metal = (mtype > 0.5) & (mtype < 1.5)
-        is_diel = ((mtype > 1.5) & (mtype < 2.5) if cfg.has_light
-                   else mtype > 1.5)
+        is_diel = ((mtype > 1.5) & (mtype < 2.5)
+                   if (cfg.has_light or cfg.has_iso) else mtype > 1.5)
         ndx = jnp.where(is_lam, lamx, jnp.where(is_metal, mex, dex))
         ndy = jnp.where(is_lam, lamy, jnp.where(is_metal, mey, dey))
         ndz = jnp.where(is_lam, lamz, jnp.where(is_metal, mez, dez))
+        if cfg.has_iso:
+            is_iso = mtype > 3.5
+            ndx = jnp.where(is_iso, ballx, ndx)
+            ndy = jnp.where(is_iso, bally, ndy)
+            ndz = jnp.where(is_iso, ballz, ndz)
         ninv = jax.lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz + 1e-30)
         ndx = ndx * ninv
         ndy = ndy * ninv
@@ -723,7 +827,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             # emits when the ray direction agrees with the normal; the
             # emitted color rides the albedo lanes. Light hits end the path
             # (scatter == false). ----
-            is_li = mtype > 2.5
+            is_li = ((mtype > 2.5) & (mtype < 3.5) if cfg.has_iso
+                     else mtype > 2.5)
             emitm = active & hit & is_li & (ddn > 0.0)
             rx = rx + jnp.where(emitm, tpx * albx, 0.0)
             ry = ry + jnp.where(emitm, tpy * alby, 0.0)
@@ -825,12 +930,10 @@ def supports_scene(scene: st.Scene) -> bool:
     (rect and sphere lights). Out of scope: constant media, procedural /
     image textures, normal-debug rendering, non-MIS diffuse strategies."""
     return (scene.bvh is None  # BVH scenes route through closest_hit
-            and scene.media.count() == 0
             and not scene.has_noise_tex
             and not scene.has_image_tex
             and not scene.needs_legacy_textures
             and scene.render_type == st.RENDER_SHADED
-            and not scene.has_isotropic
             and scene.lambertian_strategy == "mis"
             and int(np.sum(np.asarray(scene.spheres.active))
                     + np.sum(np.asarray(scene.rects.active))) > 0)
@@ -1061,6 +1164,35 @@ def build_tables(scene: st.Scene, SB: int = 64):
     has_light = bool((R and np.any(mt_np[r_mat[rlive]] == st.MAT_DIFFUSE_LIGHT))
                      or (n and np.any(mtype[:n] == st.MAT_DIFFUSE_LIGHT)))
 
+    # ---- constant-medium table + static kind/transform metadata ----
+    media = scene.media
+    vlive = np.nonzero(np.asarray(media.active))[0]
+    V = int(vlive.size)
+    med_tab = np.zeros((max(V, 1), MED_LANES), np.float32)
+    med_kinds, med_rot, med_trans = [], [], []
+    if V:
+        m_kind = np.asarray(media.kind)
+        m_p0 = np.asarray(media.p0, np.float32)
+        m_p1 = np.asarray(media.p1, np.float32)
+        m_cos = np.asarray(media.cos_t, np.float32)
+        m_sin = np.asarray(media.sin_t, np.float32)
+        m_off = np.asarray(media.offset, np.float32)
+        m_rho = np.asarray(media.density, np.float32)
+        m_mat = np.asarray(media.mat)
+        for i, vv in enumerate(vlive):
+            med_kinds.append(int(m_kind[vv]))
+            ct_, st_ = float(m_cos[vv]), float(m_sin[vv])
+            med_rot.append((ct_ != 1.0) or (st_ != 0.0))
+            med_trans.append(bool(np.any(m_off[vv] != 0.0)))
+            med_tab[i, MD_P0X:MD_P0Z + 1] = m_p0[vv]
+            med_tab[i, MD_P1X:MD_P1Z + 1] = m_p1[vv]
+            med_tab[i, MD_COS] = ct_
+            med_tab[i, MD_SIN] = st_
+            med_tab[i, MD_OFFX:MD_OFFZ + 1] = m_off[vv]
+            med_tab[i, MD_NIRHO] = -1.0 / float(m_rho[vv])
+            med_tab[i, MD_ALBX:MD_ALBZ + 1] = \
+                col_np[int(tex_np[int(m_mat[vv])])]
+
     cam = scene.camera
     cam_vec = np.zeros((1, 128), np.float32)
     for lane, v in ((CAM_OX, cam.origin), (CAM_LLX, cam.lower_left_corner),
@@ -1080,19 +1212,24 @@ def build_tables(scene: st.Scene, SB: int = 64):
                 has_spheres=n > 0,
                 has_light=has_light,
                 has_checker=bool(scene.has_checker_tex),
+                has_iso=V > 0,
                 R=R, rect_axes=tuple(rect_axes),
                 rect_rot=tuple(rect_rot), rect_trans=tuple(rect_trans),
                 L=L, light_kinds=tuple(light_kinds),
                 light_axes=tuple(light_axes), light_rot=tuple(light_rot),
-                light_trans=tuple(light_trans))
+                light_trans=tuple(light_trans),
+                V=V, med_kinds=tuple(med_kinds), med_rot=tuple(med_rot),
+                med_trans=tuple(med_trans))
     return (jnp.asarray(sph_tab), jnp.asarray(attr_tab),
             jnp.asarray(clus_tab), jnp.asarray(rect_tab),
-            jnp.asarray(light_tab), jnp.asarray(cam_vec), meta)
+            jnp.asarray(light_tab), jnp.asarray(med_tab),
+            jnp.asarray(cam_vec), meta)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tiles", "interpret"))
 def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
-               light_tab, seed, *, cfg: _Cfg, n_tiles: int, interpret: bool):
+               light_tab, med_tab, seed, *, cfg: _Cfg, n_tiles: int,
+               interpret: bool):
     T = cfg.T
     S = cfg.S
     kern = functools.partial(_kernel, cfg=cfg)
@@ -1115,6 +1252,8 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(cfg.L, 1), LIGHT_LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(cfg.V, 1), MED_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -1131,7 +1270,7 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
         # pltpu.prng_*, so CPU tests can run the full kernel.
         interpret=pltpu.InterpretParams() if interpret else False,
     )(pixf.reshape(n_tiles, 4, T), cam_vec, sph_tab, attr_tab, clus_tab,
-      rect_tab, light_tab, seed)
+      rect_tab, light_tab, med_tab, seed)
     return out
 
 
@@ -1181,7 +1320,7 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     # one 8-sublane cluster rather than paying an SB-row quadratic.
     n_live = int(np.sum(np.asarray(scene.spheres.active)))
     SB = min(SB, max(8, -(-n_live // 8) * 8))
-    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, cam_vec,
+    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, cam_vec,
      meta) = build_tables_cached(scene, SB)
     # Keep the candidate-t scratch (S, T) within a conservative VMEM slice
     # for big sphere tables (T=4096-class shapes measurably spill).
@@ -1202,15 +1341,18 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                has_spheres=meta["has_spheres"],
                has_light=meta["has_light"],
                has_checker=meta["has_checker"],
+               has_iso=meta["has_iso"],
                R=meta["R"], rect_axes=meta["rect_axes"],
                rect_rot=meta["rect_rot"], rect_trans=meta["rect_trans"],
                L=meta["L"], light_kinds=meta["light_kinds"],
                light_axes=meta["light_axes"], light_rot=meta["light_rot"],
-               light_trans=meta["light_trans"])
+               light_trans=meta["light_trans"],
+               V=meta["V"], med_kinds=meta["med_kinds"],
+               med_rot=meta["med_rot"], med_trans=meta["med_trans"])
     seed = jax.random.randint(key, (1, 1), 0, np.int32(2 ** 31 - 1),
                               dtype=jnp.int32)
     out = _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
-                     light_tab, seed, cfg=cfg, n_tiles=n_tiles,
+                     light_tab, med_tab, seed, cfg=cfg, n_tiles=n_tiles,
                      interpret=interpret)
     Tp = T // k
     blocked = (out[:, 0:3, :].transpose(0, 2, 1)

@@ -66,10 +66,27 @@ def test_slots_per_pixel_agrees():
 
 def test_supports_scene_gates():
     assert mk.supports_scene(make_scene("cornell_box", 1.0))
-    assert not mk.supports_scene(make_scene("cornell_smoke", 1.0))  # media
+    assert mk.supports_scene(make_scene("cornell_smoke", 1.0))
     assert not mk.supports_scene(make_scene("two_perlin_spheres", 1.0))
     assert not mk.supports_scene(make_scene("light_sample", 1.0))  # noise tex
     assert mk.supports_scene(make_scene("random_balls", 1.0))
+
+
+def test_mega_cornell_smoke_matches_wavefront_statistically():
+    """Constant media (stochastic scatter in rotated boxes) + isotropic
+    shading through the megakernel."""
+    scene = make_scene("cornell_smoke", 1.0)
+    assert mk.supports_scene(scene)
+    nx = ny = 24
+    spp = 24
+    img, segs = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=16,
+                              T=128, interpret=True)
+    img = np.asarray(img) / spp
+    ref = np.asarray(render_chunk(scene, KEY, nx, ny, spp, 16)) / spp
+    assert float(segs) > nx * ny * spp
+    np.testing.assert_allclose(img.mean(axis=(0, 1)), ref.mean(axis=(0, 1)),
+                               atol=0.06)
+    assert np.abs(_blocks(img, 4) - _blocks(ref, 4)).max() < 0.35
 
 
 @pytest.mark.parametrize("variant", ["glass", "boxes_aluminum"])
@@ -97,7 +114,7 @@ def test_mega_cornell_matches_wavefront_statistically(variant):
 
 def test_cluster_tables_cover_motion():
     scene = make_scene("random_balls", 1.0)
-    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, cam_vec,
+    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, cam_vec,
      meta) = mk.build_tables(scene, 64)
     S, C = meta["S"], meta["C"]
     assert S % 64 == 0 and C == S // 64
