@@ -241,11 +241,25 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         depth = sf_ref[R_DEPTH:R_DEPTH + 1, :]
         done = sf_ref[R_DONE:R_DONE + 1, :]
 
-        active = done < spp
+        # Overdraw load balancing: every VALID lane keeps tracing until the
+        # tile's while-loop ends (i.e. until the slowest lane reaches its
+        # spp), so lanes that finish early contribute EXTRA samples of
+        # their own pixel instead of idling — measured 30% of all
+        # lane-cycles on random_balls. The epilogue renormalizes by the
+        # actual per-lane sample count (R_DONE), so the estimate stays a
+        # plain per-pixel mean. (Sample counts are weakly correlated with
+        # sample values, a ratio-estimator bias of relative order 1/spp —
+        # orders below MC noise at any practical spp.)
+        active = valid
         sf_ref[R_SEGS:R_SEGS + 1, :] = (sf_ref[R_SEGS:R_SEGS + 1, :]
                                         + jnp.where(active, 1.0, 0.0))
 
         # ---- cluster-culled sphere intersection (a = 1, unit dirs) ----
+        if cfg.has_spheres and cfg.moving and cfg.uniform_time:
+            # Every sphere shares (time0, 1/dt) (true for all reference
+            # scenes), so the motion fraction is a per-RAY row computed
+            # once per bounce instead of 2 ops per (sphere, ray).
+            fracu = (time - cfg.ut_t0) * cfg.ut_idt
         idx_ = 1.0 / dx
         idy_ = 1.0 / dy
         idz_ = 1.0 / dz
@@ -272,8 +286,11 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 cy = sph_ref[lo:lo + SB, C_CY:C_CY + 1]
                 cz = sph_ref[lo:lo + SB, C_CZ:C_CZ + 1]
                 if cfg.moving:
-                    frac = ((time - sph_ref[lo:lo + SB, C_T0:C_T0 + 1])
-                            * sph_ref[lo:lo + SB, C_IDT:C_IDT + 1])
+                    if cfg.uniform_time:
+                        frac = fracu
+                    else:
+                        frac = ((time - sph_ref[lo:lo + SB, C_T0:C_T0 + 1])
+                                * sph_ref[lo:lo + SB, C_IDT:C_IDT + 1])
                     cx = cx + frac * sph_ref[lo:lo + SB, C_DCX:C_DCX + 1]
                     cy = cy + frac * sph_ref[lo:lo + SB, C_DCY:C_DCY + 1]
                     cz = cz + frac * sph_ref[lo:lo + SB, C_DCZ:C_DCZ + 1]
@@ -907,7 +924,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
     out_ref[0, 2:3, :] = sf_ref[R_AZ:R_AZ + 1, :]
     out_ref[0, 3:4, :] = sf_ref[R_SEGS:R_SEGS + 1, :]
     out_ref[0, 4:5, :] = sf_ref[R_ITERS:R_ITERS + 1, :]
-    out_ref[0, 5:8, :] = jnp.zeros((3, T), jnp.float32)
+    out_ref[0, 5:6, :] = sf_ref[R_DONE:R_DONE + 1, :]
+    out_ref[0, 6:8, :] = jnp.zeros((2, T), jnp.float32)
 
 
 class _Cfg:
@@ -1203,7 +1221,14 @@ def build_tables(scene: st.Scene, SB: int = 64):
     cam_vec[0, CAM_T0] = float(cam.time0)
     cam_vec[0, CAM_T1] = float(cam.time1)
 
+    # Shared (time0, 1/dt) across live spheres -> the kernel hoists the
+    # motion fraction to one per-ray row per bounce (cfg.uniform_time).
+    uniform_time = bool(n and np.all(t0p[:n] == t0p[0])
+                        and np.all(idt[:n] == idt[0]))
     meta = dict(S=S, C=C, SB=SB,
+                uniform_time=uniform_time,
+                ut_t0=float(t0p[0]) if n else 0.0,
+                ut_idt=float(idt[0]) if n else 0.0,
                 moving=bool(scene.has_moving_spheres),
                 lens=float(cam.lens_radius) > 0.0,
                 has_metal=bool(scene.has_metal),
@@ -1304,7 +1329,7 @@ def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
 def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                max_depth: int = 50, rr_depth: int | None = 4,
                T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
-               interpret: bool = False):
+               interpret: bool = False, return_stats: bool = False):
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
     segment count). Host-side prep is eager (concrete scene required).
 
@@ -1312,7 +1337,12 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     disables culling — measured fastest for the ~500-sphere book-1 scene,
     where bounce divergence activates every cluster anyway);
     slots_per_pixel = k sample-parallel lanes per pixel, each tracing
-    spp/k samples."""
+    spp/k samples.
+
+    Lanes that reach their spp before their tile drains keep tracing extra
+    samples of their own pixel (overdraw load balancing — was 30% idle
+    lane-cycles); the returned sums are renormalized to spp-equivalent by
+    the actual per-pixel counts, so callers divide by spp as usual."""
     assert supports_scene(scene), "scene not supported by the megakernel"
     k = slots_per_pixel
     assert spp % k == 0, (spp, k)
@@ -1334,6 +1364,8 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     n_tiles = pixf.shape[0]
     cfg = _Cfg(T=T, SB=meta["SB"], C=meta["C"], S=meta["S"], nx=nx, ny=ny,
                spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,
+               uniform_time=meta["uniform_time"], ut_t0=meta["ut_t0"],
+               ut_idt=meta["ut_idt"],
                t_min=0.001, moving=meta["moving"], lens=meta["lens"],
                has_metal=meta["has_metal"],
                has_dielectric=meta["has_dielectric"],
@@ -1355,9 +1387,21 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                      light_tab, med_tab, seed, cfg=cfg, n_tiles=n_tiles,
                      interpret=interpret)
     Tp = T // k
-    blocked = (out[:, 0:3, :].transpose(0, 2, 1)
-               .reshape(n_tiles, k, Tp, 3).sum(axis=1)
-               .reshape(n_tiles * Tp, 3))
+    sums = (out[:, 0:3, :].transpose(0, 2, 1)
+            .reshape(n_tiles, k, Tp, 3).sum(axis=1))        # (n_tiles,Tp,3)
+    # Pooled overdraw estimator: lanes oversample their pixel while the
+    # tile drains (see _kernel), so each pixel's actual sample count is the
+    # slot-summed R_DONE; rescale to exactly-spp-equivalent sums so callers
+    # keep dividing by spp.
+    dones = out[:, 5, :].reshape(n_tiles, k, Tp).sum(axis=1)
+    scale = spp / jnp.maximum(dones, 1.0)
+    blocked = (sums * scale[..., None]).reshape(n_tiles * Tp, 3)
     image = blocked[jnp.asarray(inv)].reshape(ny, nx, 3)
     segments = jnp.sum(out[:, 3, :])
+    if return_stats:
+        # lane-cycles actually spent: every lane of a tile runs until the
+        # tile's slowest lane finishes, so utilization = segments / sum of
+        # per-lane loop iterations — the megakernel's load-balance metric.
+        lane_iters = jnp.sum(out[:, 4, :])
+        return image, segments, lane_iters
     return image, segments

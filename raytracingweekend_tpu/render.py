@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import argparse
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 
 import numpy as np
@@ -170,6 +170,13 @@ def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
     launch's RNG key depends only on the launch index).
     """
     key = jax.random.key(cfg.seed)
+    if cfg.loop_mode == "auto":
+        # Fastest covering path: the fused megakernel where it applies
+        # (ops/megakernel.supports_scene), else global path regeneration.
+        from .ops import megakernel as mk
+        cfg = replace(cfg, loop_mode=(
+            "mega" if (scene.render_type == st.RENDER_SHADED
+                       and mk.supports_scene(scene)) else "regen"))
     chunk = min(cfg.samples_per_launch, cfg.spp)
     want_stats = stats is not None
     collect = stats if want_stats else RenderStats()
@@ -286,11 +293,13 @@ def main(argv=None):
     p.add_argument("--out", default="out.png")
     p.add_argument("--checkpoint", default=None,
                    help="framebuffer checkpoint path; rerun to resume")
-    p.add_argument("--mode", default="regen",
-                   choices=("regen", "tiled", "mega", "while", "scan"),
-                   help="integrator loop: regen = global path regeneration, "
-                        "tiled = scatter-free per-pixel slots, mega = fused "
-                        "Pallas megakernel (sphere scenes w/o lights), "
+    p.add_argument("--mode", default="auto",
+                   choices=("auto", "regen", "tiled", "mega", "while",
+                            "scan"),
+                   help="integrator loop: auto = megakernel when the scene "
+                        "supports it else regen, regen = global path "
+                        "regeneration, tiled = scatter-free per-pixel "
+                        "slots, mega = fused Pallas megakernel, "
                         "while/scan = lockstep")
     p.add_argument("--stats", action="store_true",
                    help="report rays/s per launch")
