@@ -1326,23 +1326,13 @@ def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
     return jnp.asarray(pixf), inv
 
 
-def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
-               max_depth: int = 50, rr_depth: int | None = 4,
-               T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
-               interpret: bool = False, return_stats: bool = False):
-    """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
-    segment count). Host-side prep is eager (concrete scene required).
-
-    T = lanes per tile; SB = sphere cluster size (SB == padded table size
-    disables culling — measured fastest for the ~500-sphere book-1 scene,
-    where bounce divergence activates every cluster anyway);
-    slots_per_pixel = k sample-parallel lanes per pixel, each tracing
-    spp/k samples.
-
-    Lanes that reach their spp before their tile drains keep tracing extra
-    samples of their own pixel (overdraw load balancing — was 30% idle
-    lane-cycles); the returned sums are renormalized to spp-equivalent by
-    the actual per-pixel counts, so callers divide by spp as usual."""
+def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
+              max_depth: int = 50, rr_depth: int | None = 4,
+              T: int = 2048, SB: int = 512, slots_per_pixel: int = 1):
+    """Host-side launch plan: packed tables + static kernel cfg for
+    _mega_call at this geometry. Shared by trace_mega and the sharded
+    multi-chip entry (parallel.mesh.render_sharded_mega, which passes the
+    per-device spp shard). Returns (tables, cfg, T, k)."""
     assert supports_scene(scene), "scene not supported by the megakernel"
     k = slots_per_pixel
     assert spp % k == 0, (spp, k)
@@ -1350,8 +1340,8 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     # one 8-sublane cluster rather than paying an SB-row quadratic.
     n_live = int(np.sum(np.asarray(scene.spheres.active)))
     SB = min(SB, max(8, -(-n_live // 8) * 8))
-    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, cam_vec,
-     meta) = build_tables_cached(scene, SB)
+    tabs = build_tables_cached(scene, SB)
+    meta = tabs[-1]
     # Keep the candidate-t scratch (S, T) within a conservative VMEM slice
     # for big sphere tables (T=4096-class shapes measurably spill).
     S_padded = meta["S"]
@@ -1360,8 +1350,6 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     T = max(T, 512)
     if T % k:
         k = 1
-    pixf, inv = _pixel_layout(nx, ny, T, k)
-    n_tiles = pixf.shape[0]
     cfg = _Cfg(T=T, SB=meta["SB"], C=meta["C"], S=meta["S"], nx=nx, ny=ny,
                spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,
                uniform_time=meta["uniform_time"], ut_t0=meta["ut_t0"],
@@ -1381,6 +1369,33 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                light_trans=meta["light_trans"],
                V=meta["V"], med_kinds=meta["med_kinds"],
                med_rot=meta["med_rot"], med_trans=meta["med_trans"])
+    return tabs, cfg, T, k
+
+
+def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
+               max_depth: int = 50, rr_depth: int | None = 4,
+               T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
+               interpret: bool = False, return_stats: bool = False):
+    """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
+    segment count). Host-side prep is eager (concrete scene required).
+
+    T = lanes per tile; SB = sphere cluster size (SB == padded table size
+    disables culling — measured fastest for the ~500-sphere book-1 scene,
+    where bounce divergence activates every cluster anyway);
+    slots_per_pixel = k sample-parallel lanes per pixel, each tracing
+    spp/k samples.
+
+    Lanes that reach their spp before their tile drains keep tracing extra
+    samples of their own pixel (overdraw load balancing — was 30% idle
+    lane-cycles); the returned sums are renormalized to spp-equivalent by
+    the actual per-pixel counts, so callers divide by spp as usual."""
+    tabs, cfg, T, k = make_plan(scene, nx, ny, spp, max_depth=max_depth,
+                                rr_depth=rr_depth, T=T, SB=SB,
+                                slots_per_pixel=slots_per_pixel)
+    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, cam_vec,
+     meta) = tabs
+    pixf, inv = _pixel_layout(nx, ny, T, k)
+    n_tiles = pixf.shape[0]
     seed = jax.random.randint(key, (1, 1), 0, np.int32(2 ** 31 - 1),
                               dtype=jnp.int32)
     out = _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,

@@ -30,7 +30,7 @@ from ..ops import camera as camera_mod
 from ..ops import sampling
 from ..ops.integrator import trace
 
-__all__ = ["make_mesh", "render_sharded"]
+__all__ = ["make_mesh", "render_sharded", "render_sharded_mega"]
 
 
 def make_mesh(dp: int = 1, sp: int = 1, devices=None) -> Mesh:
@@ -90,3 +90,60 @@ def render_sharded(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
         return tile
 
     return run(scene, key) / spp
+
+
+def render_sharded_mega(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
+                        spp: int, max_depth: int = 50, T: int = 2048,
+                        interpret: bool | None = None):
+    """The fused Pallas megakernel across a (dp, sp) device mesh: image
+    row-tiles shard over "dp", samples over "sp", one psum over "sp" of
+    (radiance sums, sample counts) combines the shards — the multi-chip
+    form of the flagship single-chip path (ops/megakernel.py).
+
+    Tables and the static launch plan are built once on the host and
+    replicated; each device runs the identical kernel on its own row tile
+    with an independent (dp, sp)-folded RNG stream. Overdraw counts are
+    pooled across sample shards before normalization, so the estimator
+    matches trace_mega's. Returns the averaged (ny, nx, 3) canvas, sharded
+    over rows."""
+    from ..ops import megakernel as mk
+
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    assert ny % dp == 0, f"ny={ny} must divide by dp={dp}"
+    assert spp % sp == 0, f"spp={spp} must divide by sp={sp}"
+    rows = ny // dp
+    spp_shard = spp // sp
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
+
+    # Full-image cfg (camera u/v need absolute pixel coords and full ny);
+    # the per-device pixel layout covers one `rows`-tall tile, offset to
+    # absolute rows inside shard_map via the device's "dp" index.
+    tabs, cfg, T, _k = mk.make_plan(scene, nx, ny, spp_shard,
+                                    max_depth=max_depth, T=T)
+    tables = tabs[:-1]
+    pixf, inv = mk._pixel_layout(nx, rows, T)
+    n_tiles = pixf.shape[0]
+    inv = jnp.asarray(inv)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+             out_specs=P("dp", None, None), check_vma=False)
+    def run(pixf_rep, base_key):
+        di = jax.lax.axis_index("dp")
+        si = jax.lax.axis_index("sp")
+        k = jax.random.fold_in(jax.random.fold_in(base_key, di), si)
+        seed = jax.random.randint(k, (1, 1), 0, np.int32(2 ** 31 - 1),
+                                  dtype=jnp.int32)
+        pixf_dev = pixf_rep.at[:, 1, :].add(
+            (di * rows).astype(jnp.float32))
+        out = mk._mega_call(pixf_dev, tables[-1], *tables[:-1], seed,
+                            cfg=cfg, n_tiles=n_tiles, interpret=interpret)
+        sums = out[:, 0:3, :].transpose(0, 2, 1).reshape(n_tiles * T, 3)
+        dones = out[:, 5, :].reshape(n_tiles * T)
+        sums = jax.lax.psum(sums, "sp")
+        dones = jax.lax.psum(dones, "sp")
+        scaled = sums * (spp / jnp.maximum(dones, 1.0))[:, None]
+        return scaled[inv].reshape(rows, nx, 3)
+
+    return run(pixf, key) / spp
