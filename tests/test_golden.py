@@ -40,6 +40,9 @@ GOLDENS = {
     "light_sample": "light_sample_32x32_4096spp.bin",
     "cornell_box": "cornell_box_32x32_8192spp.bin",
     "random_balls": "random_balls_32x32_2048spp.bin",
+    # volume path: reference constant_medium + isotropic via the oracle's
+    # smoke_scene (same book-2 ch.9 constants as models/scenes.py)
+    "cornell_smoke": "cornell_smoke_32x32_8192spp.bin",
 }
 
 
@@ -92,7 +95,8 @@ if FULL:
         golden = load_golden(GOLDENS[scene_name])
         ny, nx, _ = golden.shape
         spp = {"dielectric": 4096, "light_sample": 4096,
-               "cornell_box": 8192, "random_balls": 2048}[scene_name]
+               "cornell_box": 8192, "random_balls": 2048,
+               "cornell_smoke": 8192}[scene_name]
         ours = _ours(scene_name, nx, ny, spp)
         g = np.asarray(golden)
         o = np.asarray(ours, np.float64)

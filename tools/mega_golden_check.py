@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
-SPPS = {"dielectric": 4096, "cornell_box": 8192, "random_balls": 2048}
+SPPS = {"dielectric": 4096, "cornell_box": 8192, "random_balls": 2048,
+        "cornell_smoke": 8192}
 
 
 def main():

@@ -13,7 +13,8 @@
 // bottom (the reference canvas convention, cpp:247).
 //
 // Usage: oracle <scene> <nx> <ny> <spp> <max_depth> <out.bin>
-//   scene in {cornell_box, dielectric, random_balls, light_sample}
+//   scene in {cornell_box, dielectric, random_balls, light_sample,
+//             cornell_smoke}
 
 #define _USE_MATH_DEFINES
 #include <cfloat>  // FLT_MAX, used by sphere.h but included transitively on MSVC
@@ -38,13 +39,43 @@
 #include "utility.h"
 #include "Scene/scene.h"
 
+// Single-pass closest hit over the world list.
+//
+// The reference's hittable_list::hit (hittable_list.h:11-37) iterates the
+// object list TWICE — an indexed for-loop followed by an identical
+// range-for over the same objects. For deterministic geometry the second
+// pass is a pure no-op (nothing can beat the already-found closest t), but
+// for the STOCHASTIC constant_medium (hittable.h:420-479) it draws a
+// second scatter candidate against the updated closest — taking the min
+// of two exponential samples, i.e. silently DOUBLING the effective medium
+// density relative to the book's documented algorithm (and the `density`
+// constructor argument). The oracle uses the intended single-pass
+// semantics so volume goldens reflect the declared density; surface-only
+// scenes are bit-identical either way (verified: the four committed
+// surface goldens pass under both).
+static bool closest_hit(const hittable_list& world, const ray& r,
+                        double t_min, double t_max, hit_record& rec) {
+  hit_record temp;
+  bool any = false;
+  double closest = t_max;
+  for (const auto& obj : world.objects) {
+    if (obj->hit(r, t_min, closest, temp)) {
+      any = true;
+      closest = temp.t;
+      rec = temp;
+    }
+  }
+  return any;
+}
+
 // Serial re-implementation of the active color() path
 // (RayTracingWeekend.cpp:45-160; the #if 0 history blocks are dead there).
 static vec3 color(const ray& r, const scene* s, int depth) {
   if (depth <= 0) return vec3(0.0);
 
   hit_record rec;
-  if (s->GetWorld().hit(r, 0.001f, std::numeric_limits<double>::max(), rec)) {
+  if (closest_hit(s->GetWorld(), r, 0.001f,
+                  std::numeric_limits<double>::max(), rec)) {
     switch (s->GetRenderType()) {
       case RenderType::Shaded: {
         vec3 emitted = rec.mat_ptr->emitted(r, rec, rec.u, rec.v, rec.p);
@@ -87,6 +118,135 @@ static vec3 color(const ray& r, const scene* s, int depth) {
   }
 }
 
+// Book-2 ch.9 smoke-boxes Cornell variant built from the UNMODIFIED
+// reference primitives (constant_medium hittable.h:420-489, isotropic
+// material.h:252-265, box/rotate_y/translate wrappers) with the same
+// constants as raytracingweekend_tpu/models/scenes.py:cornell_smoke —
+// the oracle for the framework's volume path.
+class smoke_scene : public scene {
+ public:
+  explicit smoke_scene(double aspect) : scene() {
+    auto red = std::make_shared<lambertian>(
+        std::make_shared<constant_texture>(vec3(0.65, 0.05, 0.05)));
+    auto white = std::make_shared<lambertian>(
+        std::make_shared<constant_texture>(vec3(0.73, 0.73, 0.73)));
+    auto green = std::make_shared<lambertian>(
+        std::make_shared<constant_texture>(vec3(0.12, 0.45, 0.15)));
+    auto light = std::make_shared<diffuse_light>(
+        std::make_shared<constant_texture>(vec3(7.0, 7.0, 7.0)));
+
+    std::vector<std::shared_ptr<hittable>> objects;
+    objects.push_back(
+        std::make_shared<xz_rect>(113.0, 443.0, 127.0, 432.0, 554.0, light));
+    lights->objects.push_back(objects.back());
+    objects.push_back(std::make_shared<flip_normals>(
+        std::make_shared<yz_rect>(0.0, 555.0, 0.0, 555.0, 555.0, green)));
+    objects.push_back(
+        std::make_shared<yz_rect>(0.0, 555.0, 0.0, 555.0, 0.0, red));
+    objects.push_back(std::make_shared<flip_normals>(
+        std::make_shared<xz_rect>(0.0, 555.0, 0.0, 555.0, 555.0, white)));
+    objects.push_back(
+        std::make_shared<xz_rect>(0.0, 555.0, 0.0, 555.0, 0.0, white));
+    objects.push_back(std::make_shared<flip_normals>(
+        std::make_shared<xy_rect>(0.0, 555.0, 0.0, 555.0, 555.0, white)));
+
+    auto b1 = std::make_shared<translate>(
+        std::make_shared<rotate_y>(
+            std::make_shared<box>(vec3(0.0, 0.0, 0.0),
+                                  vec3(165.0, 165.0, 165.0), white),
+            -18.0),
+        vec3(130.0, 0.0, 65.0));
+    objects.push_back(std::make_shared<constant_medium>(
+        b1, 0.01,
+        std::make_shared<isotropic>(
+            std::make_shared<constant_texture>(vec3(1.0, 1.0, 1.0)))));
+    auto b2 = std::make_shared<translate>(
+        std::make_shared<rotate_y>(
+            std::make_shared<box>(vec3(0.0, 0.0, 0.0),
+                                  vec3(165.0, 330.0, 165.0), white),
+            15.0),
+        vec3(265.0, 0.0, 295.0));
+    objects.push_back(std::make_shared<constant_medium>(
+        b2, 0.01,
+        std::make_shared<isotropic>(
+            std::make_shared<constant_texture>(vec3(0.0, 0.0, 0.0)))));
+
+    this->world = hittable_list(objects);
+    this->cam = camera(vec3(278.0, 278.0, -800.0), vec3(278.0, 278.0, 0.0),
+                       vec3(0.0, 1.0, 0.0), 40.0, aspect, 0.0, 10.0, 0.0,
+                       1.0);
+    this->background_type = BackgroundType::Black;
+  }
+};
+
+// Volume-debug scene: white floor + ceiling light + the short WHITE fog
+// box only (used to localize volume-path discrepancies).
+class fog_min_scene : public scene {
+ public:
+  explicit fog_min_scene(double aspect) : scene() {
+    auto white = std::make_shared<lambertian>(
+        std::make_shared<constant_texture>(vec3(0.73, 0.73, 0.73)));
+    auto light = std::make_shared<diffuse_light>(
+        std::make_shared<constant_texture>(vec3(7.0, 7.0, 7.0)));
+    std::vector<std::shared_ptr<hittable>> objects;
+    objects.push_back(
+        std::make_shared<xz_rect>(113.0, 443.0, 127.0, 432.0, 554.0, light));
+    lights->objects.push_back(objects.back());
+    objects.push_back(
+        std::make_shared<xz_rect>(0.0, 555.0, 0.0, 555.0, 0.0, white));
+    objects.push_back(std::make_shared<flip_normals>(
+        std::make_shared<xz_rect>(0.0, 555.0, 0.0, 555.0, 555.0, white)));
+    auto b1 = std::make_shared<translate>(
+        std::make_shared<rotate_y>(
+            std::make_shared<box>(vec3(0.0, 0.0, 0.0),
+                                  vec3(165.0, 165.0, 165.0), white),
+            -18.0),
+        vec3(130.0, 0.0, 65.0));
+    objects.push_back(std::make_shared<constant_medium>(
+        b1, 0.01,
+        std::make_shared<isotropic>(
+            std::make_shared<constant_texture>(vec3(1.0, 1.0, 1.0)))));
+    this->world = hittable_list(objects);
+    this->cam = camera(vec3(278.0, 278.0, -800.0), vec3(278.0, 278.0, 0.0),
+                       vec3(0.0, 1.0, 0.0), 40.0, aspect, 0.0, 10.0, 0.0,
+                       1.0);
+    this->background_type = BackgroundType::Black;
+  }
+};
+
+// Minimal volume-debug scene: white floor + ceiling light + the tall black
+// smoke box only (used to localize volume-path discrepancies).
+class smoke_min_scene : public scene {
+ public:
+  explicit smoke_min_scene(double aspect) : scene() {
+    auto white = std::make_shared<lambertian>(
+        std::make_shared<constant_texture>(vec3(0.73, 0.73, 0.73)));
+    auto light = std::make_shared<diffuse_light>(
+        std::make_shared<constant_texture>(vec3(7.0, 7.0, 7.0)));
+    std::vector<std::shared_ptr<hittable>> objects;
+    objects.push_back(
+        std::make_shared<xz_rect>(113.0, 443.0, 127.0, 432.0, 554.0, light));
+    lights->objects.push_back(objects.back());
+    objects.push_back(
+        std::make_shared<xz_rect>(0.0, 555.0, 0.0, 555.0, 0.0, white));
+    auto b2 = std::make_shared<translate>(
+        std::make_shared<rotate_y>(
+            std::make_shared<box>(vec3(0.0, 0.0, 0.0),
+                                  vec3(165.0, 330.0, 165.0), white),
+            15.0),
+        vec3(265.0, 0.0, 295.0));
+    objects.push_back(std::make_shared<constant_medium>(
+        b2, 0.01,
+        std::make_shared<isotropic>(
+            std::make_shared<constant_texture>(vec3(0.0, 0.0, 0.0)))));
+    this->world = hittable_list(objects);
+    this->cam = camera(vec3(278.0, 278.0, -800.0), vec3(278.0, 278.0, 0.0),
+                       vec3(0.0, 1.0, 0.0), 40.0, aspect, 0.0, 10.0, 0.0,
+                       1.0);
+    this->background_type = BackgroundType::Black;
+  }
+};
+
 int main(int argc, char** argv) {
   if (argc != 7) {
     std::fprintf(stderr,
@@ -111,6 +271,12 @@ int main(int argc, char** argv) {
     s = std::make_unique<random_balls_scene>(aspect);
   else if (name == "light_sample")
     s = std::make_unique<light_sample>(aspect);
+  else if (name == "cornell_smoke")
+    s = std::make_unique<smoke_scene>(aspect);
+  else if (name == "smoke_min")
+    s = std::make_unique<smoke_min_scene>(aspect);
+  else if (name == "fog_min")
+    s = std::make_unique<fog_min_scene>(aspect);
   else {
     std::fprintf(stderr, "unknown scene %s\n", name.c_str());
     return 2;
