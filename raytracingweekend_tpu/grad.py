@@ -84,11 +84,14 @@ def fit_texture_colors(scene: st.Scene, target, *, key, nx: int, ny: int,
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     legacy_log = (log_fn is not None
                   and len(inspect.signature(log_fn).parameters) < 3)
+    want_gnorm = (log_fn is not None and not legacy_log) or metrics_path
     loss = None
     for step in range(steps):
         k = jax.random.fold_in(key, step)
         loss, g = grad_fn(params, k)
-        gnorm = float(jnp.sqrt(jnp.sum(g * g)))
+        # the float() is a device->host sync (~28 ms through the tunnel):
+        # only pay it when a consumer asked for the gradient norm
+        gnorm = float(jnp.sqrt(jnp.sum(g * g))) if want_gnorm else 0.0
         updates, opt_state = opt.update(g, opt_state)
         params = optax.apply_updates(params, updates)
         params = jnp.clip(params, 0.0, None)

@@ -207,12 +207,14 @@ def two_perlin_spheres(aspect: float) -> st.Scene:
 
 @register("random_balls_large")
 def random_balls_large(aspect: float, n: int = 60,
-                       use_bvh: bool = True) -> st.Scene:
+                       use_bvh: bool = False) -> st.Scene:
     """Procedural stress scene beyond the reference's scale: an n x n grid
     of jittered diffuse/metal/glass balls (~n^2 spheres; default 3.6k vs
-    the book-1 scene's ~480), built with the sphere BVH enabled — the
-    scene size class where log-depth traversal beats the dense table scan
-    (see tools/bvh_bench.py for the measured crossover)."""
+    the book-1 scene's ~480). Defaults to the dense table scan /
+    megakernel path: on-chip measurement found NO crossover where the
+    skip-link BVH wins (gather-bound, 300-1000x slower at 512-4k spheres —
+    tools/bvh_bench.py, README table); pass use_bvh=True to exercise the
+    tree anyway."""
     b = SceneBuilder()
     eng = MinStd()
     half = n // 2

@@ -14,9 +14,10 @@ keeps a tile of rays' full bounce state in VMEM and runs
 entirely on-chip, with in-kernel RNG (pltpu.prng_*). It is the TPU-native
 rebuild of the reference's hot loop — the recursive color() at
 RayTracingWeekend.cpp:45-160 over hittable_list.h:11-37 — covering sphere
-scenes (random_balls / dielectric) AND rect/light scenes with one-sample
-MIS (cornell_box and variants). Procedural/image textures and constant
-media keep the wavefront path (see supports_scene).
+scenes (random_balls / dielectric), rect/light scenes with one-sample
+MIS (cornell_box and variants), checker textures, and constant media
+(cornell_smoke). Procedural/image textures, BVH scenes, and debug render
+modes keep the wavefront path (see supports_scene).
 
 Design notes:
 - Rays live as (1, T) lane rows (T = tile width). Sphere intersection is
@@ -944,9 +945,10 @@ class _Cfg:
 
 def supports_scene(scene: st.Scene) -> bool:
     """True when the megakernel covers this scene: sphere/rect geometry,
-    constant textures, any background, lights + one-sample MIS included
-    (rect and sphere lights). Out of scope: constant media, procedural /
-    image textures, normal-debug rendering, non-MIS diffuse strategies."""
+    constant + checker textures, constant media, any background, lights +
+    one-sample MIS (rect and sphere lights). Out of scope: procedural /
+    image textures, BVH-routed scenes, normal-debug rendering, non-MIS
+    diffuse strategies."""
     return (scene.bvh is None  # BVH scenes route through closest_hit
             and not scene.has_noise_tex
             and not scene.has_image_tex
@@ -1017,6 +1019,19 @@ def build_tables(scene: st.Scene, SB: int = 64):
     mat = np.asarray(sph.mat)
 
     live = np.nonzero(act)[0]
+    # Drop exact geometric duplicates (same swept center/radius/time),
+    # keeping the FIRST: the one-hot extraction mask SUMS attribute rows of
+    # every sphere tied at the winning t, so coincident duplicates would
+    # double albedo / corrupt mtype. First-wins matches the reference's
+    # list iteration (strict t < closest: a later equal hit never
+    # replaces). Distinct spheres tying at one float32 t remains
+    # possible in principle but is measure-zero per sample.
+    if live.size:
+        geom = np.stack([c0[live, 0], c0[live, 1], c0[live, 2],
+                         c1[live, 0], c1[live, 1], c1[live, 2],
+                         rad[live], t0[live], t1[live]], axis=1)
+        _, first = np.unique(geom, axis=0, return_index=True)
+        live = live[np.sort(first)]
     order = (live[_morton_order(c0[live])] if live.size
              else live.astype(np.int32))
     n = order.size

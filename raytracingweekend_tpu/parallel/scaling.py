@@ -13,10 +13,18 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
 
 from .mesh import make_mesh, render_sharded
 
 __all__ = ["dp_scaling_report"]
+
+
+def _sync(out) -> float:
+    """Force device completion. block_until_ready() is a no-op through the
+    axon tunnel (CLAUDE.md), so pull a scalar reduction to the host — the
+    same discipline as bench.py / tools/mega_perf.py."""
+    return float(jnp.sum(out))
 
 
 def dp_scaling_report(scene, nx: int, ny: int, spp: int,
@@ -34,13 +42,13 @@ def dp_scaling_report(scene, nx: int, ny: int, spp: int,
         mesh = make_mesh(dp, sp, jax.devices()[: dp * sp])
         out = render_sharded(scene, mesh, key, nx, ny, spp,
                              max_depth=max_depth)
-        out.block_until_ready()  # warmup/compile
+        _sync(out)  # warmup/compile
         t0 = time.perf_counter()
         for r in range(repeats):
             out = render_sharded(scene, mesh,
                                  jax.random.fold_in(key, r + 1),
                                  nx, ny, spp, max_depth=max_depth)
-            out.block_until_ready()
+            _sync(out)
         dt = (time.perf_counter() - t0) / repeats
         sps = nx * ny * spp / dt
         per_dev = sps / (dp * sp)

@@ -231,7 +231,10 @@ def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
                 cfg.max_depth, cfg.loop_mode))
         launch_secs = time.perf_counter() - t0
         collect.trace_seconds += launch_secs
-        collect.update_variance(part / this)
+        if want_stats or metrics_path:
+            # image-sized Welford pass; skip it (and its host transfer)
+            # unless someone is actually consuming the statistics
+            collect.update_variance(part / this)
         if fb is not None:
             fb.add(part, this)
         else:

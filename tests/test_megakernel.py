@@ -112,6 +112,28 @@ def test_mega_cornell_matches_wavefront_statistically(variant):
     assert np.abs(_blocks(img, 4) - _blocks(ref, 4)).max() < 0.35
 
 
+def test_duplicate_spheres_deduped_first_wins():
+    """Coincident duplicate spheres would tie at the winning t and the
+    one-hot extraction would SUM their attribute rows; build_tables drops
+    later geometric duplicates (reference list iteration: first wins)."""
+    from raytracingweekend_tpu.models.builder import SceneBuilder
+
+    def build(dup):
+        b = SceneBuilder()
+        b.sphere((0, 0, -2), 0.5, b.lambertian(b.constant((0.8, 0.2, 0.2))))
+        if dup:
+            # same geometry, different material: must be dropped
+            b.sphere((0, 0, -2), 0.5, b.metal((1.0, 1.0, 1.0), 0.0))
+        b.camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60.0, 1.0, 0.0, 1.0)
+        return b.build()
+
+    a, _ = mk.trace_mega(KEY, build(False), 8, 8, 4, max_depth=4, T=128,
+                         interpret=True)
+    bimg, _ = mk.trace_mega(KEY, build(True), 8, 8, 4, max_depth=4, T=128,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(bimg))
+
+
 def test_cluster_tables_cover_motion():
     scene = make_scene("random_balls", 1.0)
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, cam_vec,
