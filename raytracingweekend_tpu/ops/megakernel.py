@@ -55,9 +55,9 @@ _HIT_CUT = 1.0e30  # best_t above this == miss
 # Rows 16-23 carry the checker-texture children (texture.h:29-50): CHK is
 # 1.0 on checker-textured primitives, EVEN/ODD their baked child colors.
 (A_CX, A_CY, A_CZ, A_DCX, A_DCY, A_DCZ, A_T0, A_IDT, A_RINV, A_MTYPE,
- A_ALBX, A_ALBY, A_ALBZ, A_FUZZ, A_RIDX, A_SPARE,
+ A_ALBX, A_ALBY, A_ALBZ, A_FUZZ, A_RIDX, A_NSCALE,
  A_CHK, A_EVENX, A_EVENY, A_EVENZ, A_ODDX, A_ODDY, A_ODDZ,
- A_SPARE2) = range(24)
+ A_NOISE) = range(24)
 A_ROWS = 24
 
 # ---- intersect-table lanes: (S, 128), sphere-major (pallas_intersect) ----
@@ -136,6 +136,117 @@ def _uniforms(n_rows, T, seed, tile, it, salt: int):
     return pltpu.bitcast(shr(x, 9) | c32(0x3F800000), jnp.float32) - 1.0
 
 
+# ---- in-kernel Perlin marble (texture.h:55-69 over noise.h:89-151) ----
+# The 256-entry tables (ops/noise.NOISE_TABLES: exact libstdc++ minstd
+# streams, perm_x == perm_y == perm_z) are passed as two tiny VMEM inputs
+# in hi/lo-nibble form: a 256-lookup becomes a two-level select — a (16,T)
+# one-hot over the low nibble contracted with 16 column vectors (vector
+# FMAs), then a one-hot row-reduce over the high nibble. All VPU: no
+# dot_general (sidestepping both Mosaic matmul landmines) and exact f32
+# table values (the wavefront's lookup-precision hazard, ADVICE r1 #2).
+
+
+def _noise_consts():
+    from .noise import NOISE_TABLES
+    ranfloat, ranvec, perm, _, _ = NOISE_TABLES
+    perm_cols = np.asarray(perm, np.float32).reshape(16, 16)   # [hi, lo]
+    rv = np.asarray(ranvec, np.float32)                        # (256, 3)
+    # rows comp*16 + hi, cols lo
+    rv_cols = np.concatenate([rv[:, c].reshape(16, 16) for c in range(3)],
+                             axis=0)                           # (48, 16)
+    # bf16 forms for the in-kernel MXU contraction: perm values (integers
+    # 0..255) are EXACT in bf16; the unit-gradient table is hi/lo-split so
+    # two single-pass bf16 dots reconstruct f32 accuracy (the lookup-
+    # precision hazard of ADVICE r1 #2).
+    perm_b = perm_cols.astype(jnp.bfloat16)
+    rv_hi = rv_cols.astype(jnp.bfloat16)
+    rv_lo = (rv_cols - np.asarray(rv_hi, np.float32)).astype(jnp.bfloat16)
+    return perm_cols, rv_cols, perm_b, rv_hi, rv_lo
+
+
+(_PERM_COLS, _RV_COLS, _PERM_B, _RV_HI, _RV_LO) = _noise_consts()
+
+
+def _lut2(tabs, idx, T):
+    """Two-level table lookup: tabs is a list of (R, 16) bf16 arrays whose
+    f32 sum is the table (row = block*16 + hi, col = lo), R = 16*m; idx
+    (1, T) int32 in [0, 256). The low-nibble contraction runs as one
+    single-pass bf16 dot per part (one-hots are exact in bf16; K=16 dense
+    LHS is the repro-proven-safe dot shape), the high-nibble select as a
+    masked row-reduce on the VPU. Returns (m, T) float32."""
+    R = tabs[0].shape[0]
+    m = R // 16
+    lo = idx & 15
+    hi = jax.lax.shift_right_logical(idx, 4)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (16, T), 0)
+    olb = (iota == lo).astype(jnp.bfloat16)                    # (16, T)
+    oh = (iota == hi).astype(jnp.float32)
+    dims = (((1,), (0,)), ((), ()))
+    tmp = sum(jax.lax.dot_general(t, olb, dims,
+                                  preferred_element_type=jnp.float32)
+              for t in tabs)                                   # (R, T) f32
+    outs = [jnp.sum(tmp[b * 16:(b + 1) * 16, :] * oh, axis=0,
+                    keepdims=True) for b in range(m)]
+    return outs[0] if m == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _perlin_noise(px, py, pz, T,
+                  perm_cols=None, rv_cols=None):
+    """Gradient Perlin in [-1, 1] (noise.h:89-151, hermite smoothstep) for
+    (1, T) coordinate rows."""
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    fz = jnp.floor(pz)
+    u = px - fx
+    v = py - fy
+    w = pz - fz
+    i = fx.astype(jnp.int32)
+    j = fy.astype(jnp.int32)
+    k = fz.astype(jnp.int32)
+    uu = u * u * (3.0 - 2.0 * u)
+    vv = v * v * (3.0 - 2.0 * v)
+    ww = w * w * (3.0 - 2.0 * w)
+    pc_ = ([jnp.asarray(_PERM_B)] if perm_cols is None else perm_cols)
+    rc_ = ([jnp.asarray(_RV_HI), jnp.asarray(_RV_LO)]
+           if rv_cols is None else rv_cols)
+    pi0 = _lut2(pc_, i & 255, T).astype(jnp.int32)
+    pi1 = _lut2(pc_, (i + 1) & 255, T).astype(jnp.int32)
+    pj0 = _lut2(pc_, j & 255, T).astype(jnp.int32)
+    pj1 = _lut2(pc_, (j + 1) & 255, T).astype(jnp.int32)
+    pk0 = _lut2(pc_, k & 255, T).astype(jnp.int32)
+    pk1 = _lut2(pc_, (k + 1) & 255, T).astype(jnp.int32)
+    acc = jnp.zeros((1, T), jnp.float32)
+    for di, pa in ((0, pi0), (1, pi1)):
+        wu = uu if di else 1.0 - uu
+        ru = u - float(di)
+        for dj, pb in ((0, pj0), (1, pj1)):
+            wv = vv if dj else 1.0 - vv
+            rv_ = v - float(dj)
+            for dk, pc in ((0, pk0), (1, pk1)):
+                wwk = ww if dk else 1.0 - ww
+                rw = w - float(dk)
+                g = _lut2(rc_, pa ^ pb ^ pc, T)                # (3, T)
+                dot = (g[0:1] * ru + g[1:2] * rv_ + g[2:3] * rw)
+                acc = acc + (wu * wv * wwk) * dot
+    return acc
+
+
+def _marble(px, py, pz, scale, T, depth: int = 7,
+            perm_cols=None, rv_cols=None):
+    """0.5*(1 + sin(scale*z + 10*turb(p))) with 7-octave |fBm| turbulence
+    (texture.h:67, noise.h:74-86)."""
+    t_acc = jnp.zeros((1, T), jnp.float32)
+    wgt = 1.0
+    sc = 1.0
+    for _o in range(depth):
+        t_acc = t_acc + wgt * _perlin_noise(px * sc, py * sc, pz * sc, T,
+                                            perm_cols, rv_cols)
+        wgt *= 0.5
+        sc *= 2.0
+    turbv = jnp.abs(t_acc)
+    return 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * turbv))
+
+
 def _onb(wx, wy, wz):
     """Branchless per-lane ONB about unit w (onb.h:32-38): helper axis ey
     when |w.x| > 0.9 else ex; v = normalize(w x a); u = w x v."""
@@ -155,7 +266,8 @@ def _onb(wx, wy, wz):
 
 
 def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
-            light_ref, med_ref, seed_ref, out_ref, tc_ref, sf_ref, *, cfg):
+            light_ref, med_ref, nperm_ref, nrvh_ref, nrvl_ref, seed_ref,
+            out_ref, tc_ref, sf_ref, *, cfg):
     """One tile: T per-pixel slots, each tracing cfg.spp full paths."""
     T = cfg.T
     SB = cfg.SB
@@ -521,6 +633,9 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             albz = at(A_ALBZ)
             fuzz_v = at(A_FUZZ) if cfg.has_metal else None
             ridx_v = at(A_RIDX) if cfg.has_dielectric else None
+            if cfg.has_noise:
+                nf_v = at(A_NOISE)
+                nsc_v = at(A_NSCALE)
             if cfg.has_checker:
                 chk_v = at(A_CHK)
                 evx_v, evy_v, evz_v = at(A_EVENX), at(A_EVENY), at(A_EVENZ)
@@ -537,6 +652,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     fuzz_v = jnp.where(use_rect, r_fz, fuzz_v)
                 if cfg.has_dielectric:
                     ridx_v = jnp.where(use_rect, r_ri, ridx_v)
+                if cfg.has_noise:
+                    nf_v = jnp.where(use_rect, 0.0, nf_v)
                 if cfg.has_checker:
                     chk_v = jnp.where(use_rect, r_chk, chk_v)
                     evx_v = jnp.where(use_rect, r_evx, evx_v)
@@ -563,8 +680,22 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             albx = jnp.where(use_med, m_abx, albx)
             alby = jnp.where(use_med, m_aby, alby)
             albz = jnp.where(use_med, m_abz, albz)
+            if cfg.has_noise:
+                nf_v = jnp.where(use_med, 0.0, nf_v)
             if cfg.has_checker:
                 chk_v = jnp.where(use_med, 0.0, chk_v)
+
+        if cfg.has_noise:
+            # marble noise albedo (texture.h:55-69): gray marble value on
+            # noise-textured lambertians (in noise scenes nearly every
+            # bounce has such lanes, so no divergence gating)
+            mval = _marble(px_, py_, pz_, nsc_v, T,
+                           perm_cols=[nperm_ref[...]],
+                           rv_cols=[nrvh_ref[...], nrvl_ref[...]])
+            use_n = nf_v > 0.5
+            albx = jnp.where(use_n, mval, albx)
+            alby = jnp.where(use_n, mval, alby)
+            albz = jnp.where(use_n, mval, albz)
 
         if cfg.has_checker:
             # checker::value (texture.h:35-46): the sign of the product of
@@ -943,14 +1074,33 @@ class _Cfg:
         return isinstance(other, _Cfg) and self._key == other._key
 
 
+def _noise_in_kernel_ok(scene: st.Scene) -> bool:
+    """Marble-mode Perlin on SPHERES is evaluated in-kernel (_marble);
+    other noise modes or noise on rects/media keep the wavefront path."""
+    if not scene.has_noise_tex:
+        return True
+    ttype = np.asarray(scene.textures.ttype)
+    nmode = np.asarray(scene.textures.noise_mode)
+    if np.any((ttype == st.TEX_NOISE) & (nmode != st.NOISE_MARBLE)):
+        return False
+    mat_tex = np.asarray(scene.materials.tex)
+    for prims, mats in ((scene.rects, np.asarray(scene.rects.mat)),
+                        (scene.media, np.asarray(scene.media.mat))):
+        act = np.asarray(prims.active)
+        if act.any() and np.any(ttype[mat_tex[mats[act]]] == st.TEX_NOISE):
+            return False
+    return True
+
+
 def supports_scene(scene: st.Scene) -> bool:
     """True when the megakernel covers this scene: sphere/rect geometry,
-    constant + checker textures, constant media, any background, lights +
-    one-sample MIS (rect and sphere lights). Out of scope: procedural /
-    image textures, BVH-routed scenes, normal-debug rendering, non-MIS
-    diffuse strategies."""
+    constant + checker textures, marble Perlin on spheres, constant media,
+    any background, lights + one-sample MIS (rect and sphere lights). Out
+    of scope: smooth/turb noise modes, noise on rects, image textures,
+    BVH-routed scenes, normal-debug rendering, non-MIS diffuse
+    strategies."""
     return (scene.bvh is None  # BVH scenes route through closest_hit
-            and not scene.has_noise_tex
+            and _noise_in_kernel_ok(scene)
             and not scene.has_image_tex
             and not scene.needs_legacy_textures
             and scene.render_type == st.RENDER_SHADED
@@ -1080,6 +1230,10 @@ def build_tables(scene: st.Scene, SB: int = 64):
     chk = (ttype_np[ti] == st.TEX_CHECKER).astype(np.float32)
     evc = col_all[np.asarray(tex.even)[ti]]
     odc = col_all[np.asarray(tex.odd)[ti]]
+    # marble-noise textures: flag + scale rows for the in-kernel Perlin
+    noi = (ttype_np[ti] == st.TEX_NOISE).astype(np.float32)
+    nscale = np.asarray(tex.scale, np.float32)[ti]
+    has_noise = bool(n and np.any(noi[:n] > 0))
 
     attr_tab = np.zeros((A_ROWS, S), np.float32)
     for row, v in ((A_CX, c0p[:, 0]), (A_CY, c0p[:, 1]), (A_CZ, c0p[:, 2]),
@@ -1088,7 +1242,7 @@ def build_tables(scene: st.Scene, SB: int = 64):
                    (A_MTYPE, mtype.astype(np.float32)),
                    (A_ALBX, alb[:, 0]), (A_ALBY, alb[:, 1]),
                    (A_ALBZ, alb[:, 2]), (A_FUZZ, fuzz), (A_RIDX, ridx),
-                   (A_CHK, chk),
+                   (A_CHK, chk), (A_NSCALE, nscale), (A_NOISE, noi),
                    (A_EVENX, evc[:, 0]), (A_EVENY, evc[:, 1]),
                    (A_EVENZ, evc[:, 2]),
                    (A_ODDX, odc[:, 0]), (A_ODDY, odc[:, 1]),
@@ -1252,6 +1406,7 @@ def build_tables(scene: st.Scene, SB: int = 64):
                 has_spheres=n > 0,
                 has_light=has_light,
                 has_checker=bool(scene.has_checker_tex),
+                has_noise=has_noise,
                 has_iso=V > 0,
                 R=R, rect_axes=tuple(rect_axes),
                 rect_rot=tuple(rect_rot), rect_trans=tuple(rect_trans),
@@ -1268,8 +1423,8 @@ def build_tables(scene: st.Scene, SB: int = 64):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tiles", "interpret"))
 def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
-               light_tab, med_tab, seed, *, cfg: _Cfg, n_tiles: int,
-               interpret: bool):
+               light_tab, med_tab, nperm_tab, nrvh_tab, nrvl_tab, seed, *,
+               cfg: _Cfg, n_tiles: int, interpret: bool):
     T = cfg.T
     S = cfg.S
     kern = functools.partial(_kernel, cfg=cfg)
@@ -1294,6 +1449,12 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(cfg.V, 1), MED_LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -1310,7 +1471,7 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
         # pltpu.prng_*, so CPU tests can run the full kernel.
         interpret=pltpu.InterpretParams() if interpret else False,
     )(pixf.reshape(n_tiles, 4, T), cam_vec, sph_tab, attr_tab, clus_tab,
-      rect_tab, light_tab, med_tab, seed)
+      rect_tab, light_tab, med_tab, nperm_tab, nrvh_tab, nrvl_tab, seed)
     return out
 
 
@@ -1376,6 +1537,7 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
                has_spheres=meta["has_spheres"],
                has_light=meta["has_light"],
                has_checker=meta["has_checker"],
+               has_noise=meta["has_noise"],
                has_iso=meta["has_iso"],
                R=meta["R"], rect_axes=meta["rect_axes"],
                rect_rot=meta["rect_rot"], rect_trans=meta["rect_trans"],
@@ -1414,8 +1576,9 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     seed = jax.random.randint(key, (1, 1), 0, np.int32(2 ** 31 - 1),
                               dtype=jnp.int32)
     out = _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
-                     light_tab, med_tab, seed, cfg=cfg, n_tiles=n_tiles,
-                     interpret=interpret)
+                     light_tab, med_tab, jnp.asarray(_PERM_B),
+                     jnp.asarray(_RV_HI), jnp.asarray(_RV_LO), seed,
+                     cfg=cfg, n_tiles=n_tiles, interpret=interpret)
     Tp = T // k
     sums = (out[:, 0:3, :].transpose(0, 2, 1)
             .reshape(n_tiles, k, Tp, 3).sum(axis=1))        # (n_tiles,Tp,3)

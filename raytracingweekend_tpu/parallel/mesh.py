@@ -137,7 +137,10 @@ def render_sharded_mega(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
                                   dtype=jnp.int32)
         pixf_dev = pixf_rep.at[:, 1, :].add(
             (di * rows).astype(jnp.float32))
-        out = mk._mega_call(pixf_dev, tables[-1], *tables[:-1], seed,
+        out = mk._mega_call(pixf_dev, tables[-1], *tables[:-1],
+                            jnp.asarray(mk._PERM_B),
+                            jnp.asarray(mk._RV_HI),
+                            jnp.asarray(mk._RV_LO), seed,
                             cfg=cfg, n_tiles=n_tiles, interpret=interpret)
         sums = out[:, 0:3, :].transpose(0, 2, 1).reshape(n_tiles * T, 3)
         dones = out[:, 5, :].reshape(n_tiles * T)

@@ -67,9 +67,43 @@ def test_slots_per_pixel_agrees():
 def test_supports_scene_gates():
     assert mk.supports_scene(make_scene("cornell_box", 1.0))
     assert mk.supports_scene(make_scene("cornell_smoke", 1.0))
-    assert not mk.supports_scene(make_scene("two_perlin_spheres", 1.0))
-    assert not mk.supports_scene(make_scene("light_sample", 1.0))  # noise tex
+    assert mk.supports_scene(make_scene("two_perlin_spheres", 1.0))
+    assert mk.supports_scene(make_scene("light_sample", 1.0))
+    assert not mk.supports_scene(make_scene("earth", 1.0))  # image tex
     assert mk.supports_scene(make_scene("random_balls", 1.0))
+
+
+def test_kernel_noise_matches_reference_tables():
+    """The baked two-level constant-table Perlin (_lut2/_perlin_noise) must
+    reproduce ops/noise exactly (same minstd tables, hermite smoothstep)."""
+    from raytracingweekend_tpu.ops import noise as N
+
+    rng = np.random.default_rng(0)
+    p = rng.uniform(-20, 20, (128, 3)).astype(np.float32)
+    px, py, pz = (jnp.asarray(p[:, c]).reshape(1, 128) for c in range(3))
+    ours = np.asarray(mk._perlin_noise(px, py, pz, 128))[0]
+    ref = np.asarray(N.noise(jnp.asarray(p), mode="perlin", smoother=False))
+    # hi/lo bf16 gradient split reconstructs f32 to ~2^-16 relative
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_mega_noise_scenes_match_wavefront_statistically():
+    """Marble Perlin evaluated inside the megakernel (light_sample is the
+    4th reference scene; two_perlin_spheres the book-2 marble pair)."""
+    for name in ("two_perlin_spheres", "light_sample"):
+        scene = make_scene(name, 1.0)
+        assert mk.supports_scene(scene)
+        nx = ny = 16
+        spp = 8
+        img, segs = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=8,
+                                  T=128, interpret=True)
+        img = np.asarray(img) / spp
+        ref = np.asarray(render_chunk(scene, KEY, nx, ny, spp, 8)) / spp
+        assert float(segs) > nx * ny * spp
+        np.testing.assert_allclose(img.mean(axis=(0, 1)),
+                                   ref.mean(axis=(0, 1)), atol=0.06,
+                                   err_msg=name)
+        assert np.abs(_blocks(img, 4) - _blocks(ref, 4)).max() < 0.35, name
 
 
 def test_mega_cornell_smoke_matches_wavefront_statistically():
