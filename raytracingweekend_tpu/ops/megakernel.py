@@ -98,9 +98,12 @@ MED_LANES = 128
  CAM_LENS, CAM_T0, CAM_T1) = range(21)
 
 # ---- f32 state scratch rows: (24, T) ----
+# R_BEST: running closest-t during the cluster sweep (tightens the slab
+# gate cluster-over-cluster). R_BLK: executed (cluster, chunk) block count
+# per lane — the on-chip cull-rate instrument (out row 6).
 (R_OX, R_OY, R_OZ, R_DX, R_DY, R_DZ, R_TIME, R_TPX, R_TPY, R_TPZ,
- R_RX, R_RY, R_RZ, R_AX, R_AY, R_AZ, R_SEGS, R_DEPTH, R_DONE, R_ITERS
- ) = range(20)
+ R_RX, R_RY, R_RZ, R_AX, R_AY, R_AZ, R_SEGS, R_DEPTH, R_DONE, R_ITERS,
+ R_BEST, R_BLK) = range(22)
 STATE_ROWS = 24
 
 
@@ -332,7 +335,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
     zero = jnp.zeros((1, T), jnp.float32)
     for r in (R_TPX, R_TPY, R_TPZ):
         sf_ref[r:r + 1, :] = one
-    for r in (R_RX, R_RY, R_RZ, R_AX, R_AY, R_AZ, R_SEGS, R_DEPTH, R_ITERS):
+    for r in (R_RX, R_RY, R_RZ, R_AX, R_AY, R_AZ, R_SEGS, R_DEPTH, R_ITERS,
+              R_BLK):
         sf_ref[r:r + 1, :] = zero
     sf_ref[R_DONE:R_DONE + 1, :] = jnp.where(valid, 0.0, spp)
 
@@ -376,6 +380,12 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         idx_ = 1.0 / dx
         idy_ = 1.0 / dy
         idz_ = 1.0 / dz
+        if cfg.has_spheres:
+            sf_ref[R_BEST:R_BEST + 1, :] = jnp.full((1, T), BIG, jnp.float32)
+        # Votes are per (cluster, lane-chunk): coherent sub-groups of the
+        # tile skip whole quadratic blocks a whole-tile any() could not.
+        NCH = cfg.chunks
+        W = T // NCH
         for c in range(C if cfg.has_spheres else 0):
             tx0 = (clus_ref[c, K_MINX] - ox) * idx_
             tx1 = (clus_ref[c, K_MAXX] - ox) * idx_
@@ -389,49 +399,71 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                           jnp.maximum(ty0, ty1)),
                               jnp.maximum(tz0, tz1))
-            amask = (tlo <= thi) & active
-            any_hit = jnp.any(amask)
+            # Running-best gate: a cluster whose slab ENTRY is behind the
+            # closest hit already found (by earlier, importance-ordered
+            # clusters) cannot produce the winner — skip it per lane. The
+            # tile-coherent analogue of ordered BVH traversal.
+            amask = ((tlo <= thi)
+                     & (tlo < sf_ref[R_BEST:R_BEST + 1, :]) & active)
+            # Static clusters skip the 6 motion FMAs (build_tables flag).
+            c_mov = cfg.moving and cfg.clus_moving[c]
             lo = c * SB
+            for ch in range(NCH):
+                sl = slice(ch * W, (ch + 1) * W)
+                vote = jnp.any(amask[:, sl] if NCH > 1 else amask)
 
-            @pl.when(any_hit)
-            def _(lo=lo):
-                cx = sph_ref[lo:lo + SB, C_CX:C_CX + 1]
-                cy = sph_ref[lo:lo + SB, C_CY:C_CY + 1]
-                cz = sph_ref[lo:lo + SB, C_CZ:C_CZ + 1]
-                if cfg.moving:
-                    if cfg.uniform_time:
-                        frac = fracu
-                    else:
-                        frac = ((time - sph_ref[lo:lo + SB, C_T0:C_T0 + 1])
-                                * sph_ref[lo:lo + SB, C_IDT:C_IDT + 1])
-                    cx = cx + frac * sph_ref[lo:lo + SB, C_DCX:C_DCX + 1]
-                    cy = cy + frac * sph_ref[lo:lo + SB, C_DCY:C_DCY + 1]
-                    cz = cz + frac * sph_ref[lo:lo + SB, C_DCZ:C_DCZ + 1]
-                ocx = ox - cx
-                ocy = oy - cy
-                ocz = oz - cz
-                b = ocx * dx + ocy * dy + ocz * dz
-                # r2 lane is -1 on inactive rows (build_tables), making
-                # disc < 0 there — the active mask costs zero ops.
-                cc = (ocx * ocx + ocy * ocy + ocz * ocz
-                      - sph_ref[lo:lo + SB, C_R2:C_R2 + 1])
-                disc = b * b - cc
-                # Unguarded sqrt: disc < 0 yields NaN, every comparison
-                # with NaN is false, so the two selects funnel misses to
-                # BIG — three fewer VPU ops per (sphere, ray) than the
-                # max+compare+and form on the hottest line of the renderer.
-                sq = jnp.sqrt(disc)
-                tn = -b - sq
-                tc = jnp.where(tn > t_min, tn, -b + sq)
-                tc_ref[lo:lo + SB, :] = jnp.where(tc > t_min, tc, BIG)
+                @pl.when(vote)
+                def _(lo=lo, sl=sl, c_mov=c_mov):
+                    cx = sph_ref[lo:lo + SB, C_CX:C_CX + 1]
+                    cy = sph_ref[lo:lo + SB, C_CY:C_CY + 1]
+                    cz = sph_ref[lo:lo + SB, C_CZ:C_CZ + 1]
+                    if c_mov:
+                        if cfg.uniform_time:
+                            frac = fracu[:, sl]
+                        else:
+                            frac = ((time[:, sl]
+                                     - sph_ref[lo:lo + SB, C_T0:C_T0 + 1])
+                                    * sph_ref[lo:lo + SB, C_IDT:C_IDT + 1])
+                        cx = cx + frac * sph_ref[lo:lo + SB, C_DCX:C_DCX + 1]
+                        cy = cy + frac * sph_ref[lo:lo + SB, C_DCY:C_DCY + 1]
+                        cz = cz + frac * sph_ref[lo:lo + SB, C_DCZ:C_DCZ + 1]
+                    ocx = ox[:, sl] - cx
+                    ocy = oy[:, sl] - cy
+                    ocz = oz[:, sl] - cz
+                    b = ocx * dx[:, sl] + ocy * dy[:, sl] + ocz * dz[:, sl]
+                    # r2 lane is -1 on inactive rows (build_tables), making
+                    # disc < 0 there — the active mask costs zero ops.
+                    cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                          - sph_ref[lo:lo + SB, C_R2:C_R2 + 1])
+                    disc = b * b - cc
+                    # Unguarded sqrt: disc < 0 yields NaN, every comparison
+                    # with NaN is false, so the two selects funnel misses to
+                    # BIG — three fewer VPU ops per (sphere, ray) than the
+                    # max+compare+and form on the hottest line of the
+                    # renderer.
+                    sq = jnp.sqrt(disc)
+                    tn = -b - sq
+                    tc = jnp.where(tn > t_min, tn, -b + sq)
+                    tcv = jnp.where(tc > t_min, tc, BIG)
+                    tc_ref[lo:lo + SB, sl] = tcv
+                    sf_ref[R_BEST:R_BEST + 1, sl] = jnp.minimum(
+                        sf_ref[R_BEST:R_BEST + 1, sl],
+                        jnp.min(tcv, axis=0, keepdims=True))
+                    sf_ref[R_BLK:R_BLK + 1, sl] = (
+                        sf_ref[R_BLK:R_BLK + 1, sl] + 1.0)
 
-            @pl.when(jnp.logical_not(any_hit))
-            def _(lo=lo):
-                tc_ref[lo:lo + SB, :] = jnp.full((SB, T), BIG, jnp.float32)
+                @pl.when(jnp.logical_not(vote))
+                def _(lo=lo, sl=sl):
+                    # BIG-fill is load-bearing: the one-hot extraction
+                    # tests tc == best, and stale floats from a previous
+                    # bounce would collide at ~2^-23 per pair.
+                    tc_ref[lo:lo + SB, sl] = jnp.full((SB, W), BIG,
+                                                      jnp.float32)
 
         if cfg.has_spheres:
-            tc_all = tc_ref[...]
-            s_best = jnp.min(tc_all, axis=0, keepdims=True)  # (1, T)
+            # The per-block mins folded into R_BEST ARE the global min:
+            # skipped blocks are provably behind it (or BIG-filled).
+            s_best = sf_ref[R_BEST:R_BEST + 1, :]
         else:
             s_best = jnp.full((1, T), BIG, jnp.float32)
 
@@ -605,7 +637,7 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
 
         if cfg.has_spheres:
             # ---- one-hot MXU attribute extraction ----
-            maskf = ((tc_all == s_best)
+            maskf = ((tc_ref[...] == s_best)
                      & (s_best < _HIT_CUT)).astype(jnp.float32)
             attrs = jax.lax.dot_general(
                 attr_ref[...], maskf, (((1,), (0,)), ((), ())),
@@ -1057,7 +1089,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
     out_ref[0, 3:4, :] = sf_ref[R_SEGS:R_SEGS + 1, :]
     out_ref[0, 4:5, :] = sf_ref[R_ITERS:R_ITERS + 1, :]
     out_ref[0, 5:6, :] = sf_ref[R_DONE:R_DONE + 1, :]
-    out_ref[0, 6:8, :] = jnp.zeros((2, T), jnp.float32)
+    out_ref[0, 6:7, :] = sf_ref[R_BLK:R_BLK + 1, :]
+    out_ref[0, 7:8, :] = jnp.zeros((1, T), jnp.float32)
 
 
 class _Cfg:
@@ -1188,16 +1221,30 @@ def build_tables(scene: st.Scene, SB: int = 64):
     S = max(SB, ((n + SB - 1) // SB) * SB)
     C = S // SB
 
+    # Cluster importance order: the kernel's running-best slab gate skips a
+    # cluster once the closest hit found so far is in front of it, so visit
+    # the clusters most likely to OWN the closest hit first — biggest
+    # spheres (the ground sphere dominates hit probability) lead, the
+    # long Morton-sorted tail of small spheres follows.
+    idx_ext = np.full((S,), -1, np.int64)
+    idx_ext[:n] = order
+    if C > 1:
+        blocks = idx_ext.reshape(C, SB)
+        key_r = np.array([np.abs(rad[b[b >= 0]]).max() if (b >= 0).any()
+                          else -1.0 for b in blocks])
+        blocks = blocks[np.argsort(-key_r, kind="stable")]
+        idx_ext = blocks.reshape(S)
+    actm = idx_ext >= 0
+
     def pad(x, fill=0.0):
         out = np.full((S,) + x.shape[1:], fill, x.dtype)
-        out[:n] = x[order]
+        out[actm] = x[idx_ext[actm]]
         return out
 
     c0p, c1p = pad(c0), pad(c1)
     t0p, t1p = pad(t0), pad(t1, 1.0)
     radp = pad(rad)
-    actp = np.zeros((S,), np.float32)
-    actp[:n] = 1.0
+    actp = actm.astype(np.float32)
     dt = t1p - t0p
     idt = np.where(dt != 0, 1.0 / np.where(dt != 0, dt, 1.0), 0.0)
     dc = c1p - c0p
@@ -1233,7 +1280,7 @@ def build_tables(scene: st.Scene, SB: int = 64):
     # marble-noise textures: flag + scale rows for the in-kernel Perlin
     noi = (ttype_np[ti] == st.TEX_NOISE).astype(np.float32)
     nscale = np.asarray(tex.scale, np.float32)[ti]
-    has_noise = bool(n and np.any(noi[:n] > 0))
+    has_noise = bool(n and np.any(noi[actm] > 0))
 
     attr_tab = np.zeros((A_ROWS, S), np.float32)
     for row, v in ((A_CX, c0p[:, 0]), (A_CY, c0p[:, 1]), (A_CZ, c0p[:, 2]),
@@ -1249,7 +1296,11 @@ def build_tables(scene: st.Scene, SB: int = 64):
                    (A_ODDZ, odc[:, 2])):
         attr_tab[row] = v
 
-    # cluster AABBs over the motion-swept spheres
+    # cluster AABBs over the motion-swept spheres; per-cluster static flag
+    # (dc == 0 on padding rows) lets the kernel drop the motion FMAs for
+    # clusters with no moving member
+    clus_moving = tuple(bool(np.any(dc[c * SB:(c + 1) * SB] != 0))
+                        for c in range(C))
     absr = np.abs(radp)
     los = np.minimum(c0p, c1p) - absr[:, None]
     his = np.maximum(c0p, c1p) + absr[:, None]
@@ -1349,7 +1400,7 @@ def build_tables(scene: st.Scene, SB: int = 64):
             light_tab[i, LT_RAD] = float(rad[si])
 
     has_light = bool((R and np.any(mt_np[r_mat[rlive]] == st.MAT_DIFFUSE_LIGHT))
-                     or (n and np.any(mtype[:n] == st.MAT_DIFFUSE_LIGHT)))
+                     or (n and np.any(mtype[actm] == st.MAT_DIFFUSE_LIGHT)))
 
     # ---- constant-medium table + static kind/transform metadata ----
     media = scene.media
@@ -1392,12 +1443,15 @@ def build_tables(scene: st.Scene, SB: int = 64):
 
     # Shared (time0, 1/dt) across live spheres -> the kernel hoists the
     # motion fraction to one per-ray row per bounce (cfg.uniform_time).
-    uniform_time = bool(n and np.all(t0p[:n] == t0p[0])
-                        and np.all(idt[:n] == idt[0]))
+    t0a = t0p[actm]
+    idta = idt[actm]
+    uniform_time = bool(n and np.all(t0a == t0a[0])
+                        and np.all(idta == idta[0]))
     meta = dict(S=S, C=C, SB=SB,
                 uniform_time=uniform_time,
-                ut_t0=float(t0p[0]) if n else 0.0,
-                ut_idt=float(idt[0]) if n else 0.0,
+                ut_t0=float(t0a[0]) if n else 0.0,
+                ut_idt=float(idta[0]) if n else 0.0,
+                clus_moving=clus_moving,
                 moving=bool(scene.has_moving_spheres),
                 lens=float(cam.lens_radius) > 0.0,
                 has_metal=bool(scene.has_metal),
@@ -1504,7 +1558,8 @@ def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
 
 def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
               max_depth: int = 50, rr_depth: int | None = 4,
-              T: int = 2048, SB: int = 512, slots_per_pixel: int = 1):
+              T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
+              chunks: int = 1):
     """Host-side launch plan: packed tables + static kernel cfg for
     _mega_call at this geometry. Shared by trace_mega and the sharded
     multi-chip entry (parallel.mesh.render_sharded_mega, which passes the
@@ -1526,8 +1581,13 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
     T = max(T, 512)
     if T % k:
         k = 1
+    # vote chunks must be whole 128-lane registers and divide T
+    chunks = max(1, min(chunks, T // 128))
+    while T % chunks:
+        chunks -= 1
     cfg = _Cfg(T=T, SB=meta["SB"], C=meta["C"], S=meta["S"], nx=nx, ny=ny,
                spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,
+               chunks=chunks, clus_moving=meta["clus_moving"],
                uniform_time=meta["uniform_time"], ut_t0=meta["ut_t0"],
                ut_idt=meta["ut_idt"],
                t_min=0.001, moving=meta["moving"], lens=meta["lens"],
@@ -1552,7 +1612,8 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
 def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                max_depth: int = 50, rr_depth: int | None = 4,
                T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
-               interpret: bool = False, return_stats: bool = False):
+               chunks: int = 1, interpret: bool = False,
+               return_stats: bool = False):
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
     segment count). Host-side prep is eager (concrete scene required).
 
@@ -1568,7 +1629,8 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     the actual per-pixel counts, so callers divide by spp as usual."""
     tabs, cfg, T, k = make_plan(scene, nx, ny, spp, max_depth=max_depth,
                                 rr_depth=rr_depth, T=T, SB=SB,
-                                slots_per_pixel=slots_per_pixel)
+                                slots_per_pixel=slots_per_pixel,
+                                chunks=chunks)
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, cam_vec,
      meta) = tabs
     pixf, inv = _pixel_layout(nx, ny, T, k)
@@ -1595,6 +1657,10 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
         # lane-cycles actually spent: every lane of a tile runs until the
         # tile's slowest lane finishes, so utilization = segments / sum of
         # per-lane loop iterations — the megakernel's load-balance metric.
+        # blocks = lane-block increments (a lane gains 1 per executed
+        # (cluster, chunk) block covering it, max C per iteration), so
+        # blocks / (lane_iters * C) is the cull-survival rate.
         lane_iters = jnp.sum(out[:, 4, :])
-        return image, segments, lane_iters
+        blocks = jnp.sum(out[:, 6, :])
+        return image, segments, lane_iters, blocks
     return image, segments

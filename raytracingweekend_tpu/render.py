@@ -101,16 +101,18 @@ def render_chunk_tiled(scene: st.Scene, key, nx: int, ny: int,
 
 
 def render_chunk_mega(scene: st.Scene, key, nx: int, ny: int,
-                      chunk_spp: int, max_depth: int = 100):
+                      chunk_spp: int, max_depth: int = 100,
+                      tile_lanes: int = 2048):
     """Radiance sums via the fused Pallas megakernel (ops/megakernel.py) —
     the fastest TPU path for sphere and rect/light scenes (incl. MIS).
     Host-side table prep is eager; on CPU/GPU backends the kernel runs
-    under the TPU interpreter (slow — for functional verification only).
+    under the TPU interpreter (slow — for functional verification only;
+    shrink tile_lanes to keep it tractable).
     Returns ((ny, nx, 3) sums, segment count)."""
     from .ops import megakernel as mk
     interp = jax.default_backend() in ("cpu", "gpu")
     return mk.trace_mega(key, scene, nx, ny, chunk_spp, max_depth=max_depth,
-                         interpret=interp)
+                         T=tile_lanes, interpret=interp)
 
 
 @dataclass
@@ -213,7 +215,9 @@ def render(scene: st.Scene, cfg: RenderConfig, *, progress: bool = False,
         if cfg.loop_mode in ("regen", "tiled", "mega"):
             chunk_fn = {"regen": render_chunk_regen,
                         "tiled": render_chunk_tiled,
-                        "mega": render_chunk_mega}[cfg.loop_mode]
+                        "mega": partial(render_chunk_mega,
+                                        tile_lanes=cfg.tile_lanes)
+                        }[cfg.loop_mode]
             part, segs = chunk_fn(
                 scene, jax.random.fold_in(key, launch), cfg.nx, cfg.ny, this,
                 cfg.max_depth)
@@ -304,6 +308,10 @@ def main(argv=None):
                         "regeneration, tiled = scatter-free per-pixel "
                         "slots, mega = fused Pallas megakernel, "
                         "while/scan = lockstep")
+    p.add_argument("--tile-lanes", type=int, default=2048,
+                   help="megakernel tile width (lanes per Pallas tile; "
+                        "min 512). 2048 is the on-chip sweet spot; shrink "
+                        "for CPU-interpreter verification runs")
     p.add_argument("--stats", action="store_true",
                    help="report rays/s per launch")
     p.add_argument("--normals", action="store_true",
@@ -322,7 +330,8 @@ def main(argv=None):
     cfg = RenderConfig(nx=args.nx, ny=args.ny, spp=args.spp,
                        max_depth=args.max_depth, seed=args.seed,
                        samples_per_launch=args.samples_per_launch,
-                       checkpoint=args.checkpoint, loop_mode=args.mode)
+                       checkpoint=args.checkpoint, loop_mode=args.mode,
+                       tile_lanes=args.tile_lanes)
     scene = make_scene(args.scene, cfg.aspect)
     if args.normals:
         scene = scene.replace(render_type=st.RENDER_NORMAL)

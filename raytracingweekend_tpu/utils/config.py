@@ -23,6 +23,10 @@ class RenderConfig:
     # Framebuffer checkpoint path (native runtime); rerunning the same config
     # resumes accumulation exactly. None disables checkpointing.
     checkpoint: str | None = None
+    # Megakernel tile width (lanes per Pallas tile). The on-chip sweet spot
+    # is 2048 (tools/mega_perf.py); small values keep the CPU interpreter
+    # tractable for functional verification.
+    tile_lanes: int = 2048
 
     @property
     def aspect(self) -> float:

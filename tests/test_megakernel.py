@@ -52,6 +52,25 @@ def test_mega_deterministic_and_seed_sensitive():
     assert not np.array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_chunked_culling_is_exact():
+    """Chunk-granular votes + the running-best slab gate must be EXACTLY
+    result-preserving: a skipped (cluster, chunk) block provably cannot own
+    any lane's closest hit (sphere ⊂ cluster AABB, slab entry >= running
+    best), so radiance is bitwise identical to the unchunked sweep."""
+    for name, sb in (("random_balls", 64), ("dielectric", 32)):
+        scene = make_scene(name, 1.0)
+        base, sb_, li_, blk1 = mk.trace_mega(
+            KEY, scene, 16, 16, 4, max_depth=12, T=256, SB=sb,
+            chunks=1, interpret=True, return_stats=True)
+        chnk, _, _, blk2 = mk.trace_mega(
+            KEY, scene, 16, 16, 4, max_depth=12, T=256, SB=sb,
+            chunks=2, interpret=True, return_stats=True)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(chnk),
+                                      err_msg=name)
+        # finer votes can only skip MORE lane-blocks, never fewer
+        assert float(blk2) <= float(blk1) + 1e-6, name
+
+
 def test_slots_per_pixel_agrees():
     scene = make_scene("dielectric", 1.0)
     a, _ = mk.trace_mega(KEY, scene, 16, 16, 8, max_depth=8, T=128, SB=32,

@@ -1,0 +1,79 @@
+"""Sweep (SB, chunks) megakernel culling configs in ONE process (real TPU).
+
+    python tools/cull_sweep.py --scene random_balls --nx 1200 --ny 800 \
+        --spp 64 --configs 512:1 64:1 64:8 64:16 128:8 32:8
+
+One process = one TPU job (tunnel discipline) and the runtime init is paid
+once; each config still compiles its own kernel (server-side, cached in
+.jax_cache). Reports M segments/s, lane utilization, and cull-survival rate
+(executed quadratic lane-blocks / possible) per config.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="random_balls")
+    ap.add_argument("--nx", type=int, default=1200)
+    ap.add_argument("--ny", type=int, default=800)
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--max-depth", type=int, default=50)
+    ap.add_argument("--launches", type=int, default=2)
+    ap.add_argument("--T", type=int, default=2048)
+    ap.add_argument("--configs", nargs="+", default=["512:1", "64:1", "64:8"],
+                    help="SB:chunks pairs")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+    from raytracingweekend_tpu.models.scenes import make_scene
+    from raytracingweekend_tpu.ops import megakernel as mk
+
+    scene = make_scene(args.scene, args.nx / args.ny)
+    assert mk.supports_scene(scene), args.scene
+    n_live = int(np.sum(np.asarray(scene.spheres.active)))
+    key = jax.random.key(0)
+
+    for spec in args.configs:
+        sb_s, ch_s = spec.split(":")
+        SB, chunks = int(sb_s), int(ch_s)
+
+        def launch(k):
+            return mk.trace_mega(k, scene, args.nx, args.ny, args.spp,
+                                 max_depth=args.max_depth, T=args.T,
+                                 SB=SB, chunks=chunks, return_stats=True)
+
+        t_c = time.perf_counter()
+        for w in range(2):  # compile, then absorb one-time dispatch
+            _, seg, _, _ = launch(jax.random.fold_in(key, 900 + w))
+            _ = float(seg)
+        c_dt = time.perf_counter() - t_c
+        total = iters = blocks = 0.0
+        t0 = time.perf_counter()
+        for i in range(args.launches):
+            _, seg, li, blk = launch(jax.random.fold_in(key, i))
+            total += float(seg)  # host transfer forces the sync
+            iters += float(li)
+            blocks += float(blk)
+        dt = time.perf_counter() - t0
+        sb_eff = min(SB, max(8, -(-n_live // 8) * 8))
+        C = max(1, -(-n_live // sb_eff))
+        surv = blocks / max(iters * C, 1.0)
+        print(f"SB={SB:<4d} chunks={chunks:<3d} "
+              f"{total / dt / 1e6:8.1f} M seg/s  "
+              f"util={total / max(iters, 1.0):.3f} "
+              f"cull_survival={surv:.3f} (C={C})  "
+              f"[warm {c_dt:.0f}s, timed {dt:.2f}s]", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--max-depth", type=int, default=50)
     ap.add_argument("--launches", type=int, default=2)
     ap.add_argument("--T", type=int, default=2048)
+    ap.add_argument("--SB", type=int, default=512,
+                    help="sphere cluster size (== table size: culling off)")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="lane-chunks per tile for cluster-skip votes")
+    ap.add_argument("--stats", action="store_true",
+                    help="also report utilization and cull-survival rate")
     args = ap.parse_args()
 
     import jax
@@ -37,22 +43,37 @@ def main():
 
     def launch(k):
         return mk.trace_mega(k, scene, args.nx, args.ny, args.spp,
-                             max_depth=args.max_depth, T=args.T)
+                             max_depth=args.max_depth, T=args.T, SB=args.SB,
+                             chunks=args.chunks, return_stats=True)
 
     key = jax.random.key(0)
     for w in range(2):  # compile, then absorb one-time dispatch
-        _, seg = launch(jax.random.fold_in(key, 900 + w))
+        _, seg, _, _ = launch(jax.random.fold_in(key, 900 + w))
         _ = float(seg)
     total = 0.0
+    iters = 0.0
+    blocks = 0.0
     t0 = time.perf_counter()
     for i in range(args.launches):
-        _, seg = launch(jax.random.fold_in(key, i))
-        total += float(seg)
+        _, seg, li, blk = launch(jax.random.fold_in(key, i))
+        total += float(seg)  # host transfer forces the sync
+        iters += float(li)
+        blocks += float(blk)
     dt = time.perf_counter() - t0
     rate = total / dt
-    print(f"{args.scene} {args.nx}x{args.ny}@{args.spp}spp T={args.T}: "
+    extra = ""
+    if args.stats:
+        import numpy as np
+        n_live = int(np.sum(np.asarray(scene.spheres.active)))
+        SB = min(args.SB, max(8, -(-n_live // 8) * 8))
+        C = max(1, -(-n_live // SB))
+        surv = blocks / max(iters * C, 1.0)
+        extra = (f" util={total / max(iters, 1.0):.3f}"
+                 f" cull_survival={surv:.3f} (C={C})")
+    print(f"{args.scene} {args.nx}x{args.ny}@{args.spp}spp T={args.T} "
+          f"SB={args.SB} chunks={args.chunks}: "
           f"{total / 1e6:.1f}M segments in {dt:.3f}s = "
-          f"{rate / 1e6:.1f} M segments/s", flush=True)
+          f"{rate / 1e6:.1f} M segments/s{extra}", flush=True)
 
 
 if __name__ == "__main__":
