@@ -402,9 +402,13 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             # Running-best gate: a cluster whose slab ENTRY is behind the
             # closest hit already found (by earlier, importance-ordered
             # clusters) cannot produce the winner — skip it per lane. The
-            # tile-coherent analogue of ordered BVH traversal.
+            # tile-coherent analogue of ordered BVH traversal. tlo is
+            # scaled down a few ulps so slab-chain rounding can never skip
+            # a cluster whose true hit ties the running best within float
+            # noise (tlo >= t_min > 0, so the scale is direction-safe).
             amask = ((tlo <= thi)
-                     & (tlo < sf_ref[R_BEST:R_BEST + 1, :]) & active)
+                     & (tlo * (1.0 - 2.4e-7)
+                        < sf_ref[R_BEST:R_BEST + 1, :]) & active)
             # Static clusters skip the 6 motion FMAs (build_tables flag).
             c_mov = cfg.moving and cfg.clus_moving[c]
             lo = c * SB
@@ -1578,12 +1582,12 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
     S_padded = meta["S"]
     while T > 512 and S_padded * T * 4 > (8 << 20):
         T //= 2
-    T = max(T, 512)
+    T = max((T // 128) * 128, 512)  # lane slices must be 128-aligned
     if T % k:
         k = 1
-    # vote chunks must be whole 128-lane registers and divide T
+    # every vote chunk must be a whole number of 128-lane registers
     chunks = max(1, min(chunks, T // 128))
-    while T % chunks:
+    while chunks > 1 and (T % chunks or (T // chunks) % 128):
         chunks -= 1
     cfg = _Cfg(T=T, SB=meta["SB"], C=meta["C"], S=meta["S"], nx=nx, ny=ny,
                spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,

@@ -34,13 +34,11 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import numpy as np
     from raytracingweekend_tpu.models.scenes import make_scene
     from raytracingweekend_tpu.ops import megakernel as mk
 
     scene = make_scene(args.scene, args.nx / args.ny)
     assert mk.supports_scene(scene), args.scene
-    n_live = int(np.sum(np.asarray(scene.spheres.active)))
     key = jax.random.key(0)
 
     for spec in args.configs:
@@ -57,16 +55,23 @@ def main():
             _, seg, _, _ = launch(jax.random.fold_in(key, 900 + w))
             _ = float(seg)
         c_dt = time.perf_counter() - t_c
-        total = iters = blocks = 0.0
+        total = 0.0
+        stats = []
         t0 = time.perf_counter()
         for i in range(args.launches):
             _, seg, li, blk = launch(jax.random.fold_in(key, i))
-            total += float(seg)  # host transfer forces the sync
-            iters += float(li)
-            blocks += float(blk)
+            total += float(seg)  # ONE host transfer forces the sync
+            stats.append((li, blk))
         dt = time.perf_counter() - t0
-        sb_eff = min(SB, max(8, -(-n_live // 8) * 8))
-        C = max(1, -(-n_live // sb_eff))
+        # stats transfers happen outside the timed window (each float() is
+        # a ~28 ms tunnel round-trip)
+        iters = sum(float(li) for li, _ in stats)
+        blocks = sum(float(blk) for _, blk in stats)
+        # the kernel's own clamp/dedupe decide SB and C — read them back
+        _, cfg, _, _ = mk.make_plan(scene, args.nx, args.ny, args.spp,
+                                    max_depth=args.max_depth, T=args.T,
+                                    SB=SB, chunks=chunks)
+        C = cfg.C
         surv = blocks / max(iters * C, 1.0)
         print(f"SB={SB:<4d} chunks={chunks:<3d} "
               f"{total / dt / 1e6:8.1f} M seg/s  "

@@ -51,22 +51,23 @@ def main():
         _, seg, _, _ = launch(jax.random.fold_in(key, 900 + w))
         _ = float(seg)
     total = 0.0
-    iters = 0.0
-    blocks = 0.0
+    stats = []
     t0 = time.perf_counter()
     for i in range(args.launches):
         _, seg, li, blk = launch(jax.random.fold_in(key, i))
-        total += float(seg)  # host transfer forces the sync
-        iters += float(li)
-        blocks += float(blk)
+        total += float(seg)  # ONE host transfer forces the sync
+        stats.append((li, blk))
     dt = time.perf_counter() - t0
     rate = total / dt
     extra = ""
     if args.stats:
-        import numpy as np
-        n_live = int(np.sum(np.asarray(scene.spheres.active)))
-        SB = min(args.SB, max(8, -(-n_live // 8) * 8))
-        C = max(1, -(-n_live // SB))
+        # stats transfers stay outside the timed window (~28 ms each)
+        iters = sum(float(li) for li, _ in stats)
+        blocks = sum(float(blk) for _, blk in stats)
+        _, cfg, _, _ = mk.make_plan(scene, args.nx, args.ny, args.spp,
+                                    max_depth=args.max_depth, T=args.T,
+                                    SB=args.SB, chunks=args.chunks)
+        C = cfg.C
         surv = blocks / max(iters * C, 1.0)
         extra = (f" util={total / max(iters, 1.0):.3f}"
                  f" cull_survival={surv:.3f} (C={C})")
