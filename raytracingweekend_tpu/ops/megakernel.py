@@ -15,9 +15,10 @@ entirely on-chip, with in-kernel RNG (pltpu.prng_*). It is the TPU-native
 rebuild of the reference's hot loop — the recursive color() at
 RayTracingWeekend.cpp:45-160 over hittable_list.h:11-37 — covering sphere
 scenes (random_balls / dielectric), rect/light scenes with one-sample
-MIS (cornell_box and variants), checker textures, and constant media
-(cornell_smoke). Procedural/image textures, BVH scenes, and debug render
-modes keep the wavefront path (see supports_scene).
+MIS (cornell_box and variants), checker + Perlin-noise textures (all three
+display modes), and constant media (cornell_smoke). Image textures, BVH
+scenes, and debug render modes keep the wavefront path (see
+supports_scene).
 
 Design notes:
 - Rays live as (1, T) lane rows (T = tile width). Sphere intersection is
@@ -54,6 +55,8 @@ _HIT_CUT = 1.0e30  # best_t above this == miss
 # ---- attribute-extraction table rows: (24, S), attribute-major ----
 # Rows 16-23 carry the checker-texture children (texture.h:29-50): CHK is
 # 1.0 on checker-textured primitives, EVEN/ODD their baked child colors.
+# A_NOISE encodes the noise display mode as 1 + NOISE_* (0 = not noise):
+# small ints survive the one-hot f32 extraction dot exactly.
 (A_CX, A_CY, A_CZ, A_DCX, A_DCY, A_DCZ, A_T0, A_IDT, A_RINV, A_MTYPE,
  A_ALBX, A_ALBY, A_ALBZ, A_FUZZ, A_RIDX, A_NSCALE,
  A_CHK, A_EVENX, A_EVENY, A_EVENZ, A_ODDX, A_ODDY, A_ODDZ,
@@ -76,7 +79,7 @@ CLUS_LANES = 128
 (RT_A0, RT_A1, RT_B0, RT_B1, RT_K, RT_COS, RT_SIN, RT_OFFX, RT_OFFY,
  RT_OFFZ, RT_NX, RT_NY, RT_NZ, RT_MTYPE, RT_ALBX, RT_ALBY, RT_ALBZ,
  RT_FUZZ, RT_RIDX, RT_CHK, RT_EVENX, RT_EVENY, RT_EVENZ, RT_ODDX,
- RT_ODDY, RT_ODDZ) = range(26)
+ RT_ODDY, RT_ODDZ, RT_NOI, RT_NSC) = range(28)
 RECT_LANES = 128
 
 # ---- light-table lanes: (L, 128), light-major (kind/axis are static) ----
@@ -234,10 +237,9 @@ def _perlin_noise(px, py, pz, T,
     return acc
 
 
-def _marble(px, py, pz, scale, T, depth: int = 7,
-            perm_cols=None, rv_cols=None):
-    """0.5*(1 + sin(scale*z + 10*turb(p))) with 7-octave |fBm| turbulence
-    (texture.h:67, noise.h:74-86)."""
+def _turb(px, py, pz, T, depth: int = 7, perm_cols=None, rv_cols=None):
+    """7-octave |fBm| turbulence (noise.h:74-86): abs of the weighted
+    octave sum."""
     t_acc = jnp.zeros((1, T), jnp.float32)
     wgt = 1.0
     sc = 1.0
@@ -246,7 +248,14 @@ def _marble(px, py, pz, scale, T, depth: int = 7,
                                             perm_cols, rv_cols)
         wgt *= 0.5
         sc *= 2.0
-    turbv = jnp.abs(t_acc)
+    return jnp.abs(t_acc)
+
+
+def _marble(px, py, pz, scale, T, depth: int = 7,
+            perm_cols=None, rv_cols=None):
+    """0.5*(1 + sin(scale*z + 10*turb(p))) marble (texture.h:67): the
+    turbulence is evaluated at the UNSCALED point."""
+    turbv = _turb(px, py, pz, T, depth, perm_cols, rv_cols)
     return 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * turbv))
 
 
@@ -486,6 +495,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             r_abz = zz1
             r_fz = zz1
             r_ri = zz1
+            r_noi = zz1
+            r_nsc = zz1
             r_chk = zz1
             r_evx = zz1
             r_evy = zz1
@@ -546,6 +557,9 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     r_fz = jnp.where(okr, rl(RT_FUZZ), r_fz)
                 if cfg.has_dielectric:
                     r_ri = jnp.where(okr, rl(RT_RIDX), r_ri)
+                if cfg.has_noise:
+                    r_noi = jnp.where(okr, rl(RT_NOI), r_noi)
+                    r_nsc = jnp.where(okr, rl(RT_NSC), r_nsc)
                 if cfg.has_checker:
                     r_chk = jnp.where(okr, rl(RT_CHK), r_chk)
                     r_evx = jnp.where(okr, rl(RT_EVENX), r_evx)
@@ -689,7 +703,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 if cfg.has_dielectric:
                     ridx_v = jnp.where(use_rect, r_ri, ridx_v)
                 if cfg.has_noise:
-                    nf_v = jnp.where(use_rect, 0.0, nf_v)
+                    nf_v = jnp.where(use_rect, r_noi, nf_v)
+                    nsc_v = jnp.where(use_rect, r_nsc, nsc_v)
                 if cfg.has_checker:
                     chk_v = jnp.where(use_rect, r_chk, chk_v)
                     evx_v = jnp.where(use_rect, r_evx, evx_v)
@@ -704,6 +719,9 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             albx, alby, albz = r_abx, r_aby, r_abz
             fuzz_v = r_fz
             ridx_v = r_ri
+            if cfg.has_noise:
+                nf_v = r_noi
+                nsc_v = r_nsc
             if cfg.has_checker:
                 chk_v = r_chk
                 evx_v, evy_v, evz_v = r_evx, r_evy, r_evz
@@ -722,12 +740,33 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 chk_v = jnp.where(use_med, 0.0, chk_v)
 
         if cfg.has_noise:
-            # marble noise albedo (texture.h:55-69): gray marble value on
-            # noise-textured lambertians (in noise scenes nearly every
-            # bounce has such lanes, so no divergence gating)
-            mval = _marble(px_, py_, pz_, nsc_v, T,
-                           perm_cols=[nperm_ref[...]],
-                           rv_cols=[nrvh_ref[...], nrvl_ref[...]])
+            # noise-texture albedo (texture.h:55-69): gray Perlin value on
+            # noise-textured primitives, all three display modes. Only the
+            # modes the scene actually uses are compiled in (static
+            # cfg.noise_modes); scenes with one mode pay nothing extra.
+            # nf_v encodes 1 + NOISE_* per lane. (In noise scenes nearly
+            # every bounce has such lanes, so no divergence gating.)
+            pc_n = [nperm_ref[...]]
+            rc_n = [nrvh_ref[...], nrvl_ref[...]]
+            mval = jnp.zeros((1, T), jnp.float32)
+            if st.NOISE_MARBLE in cfg.noise_modes:
+                mar = _marble(px_, py_, pz_, nsc_v, T,
+                              perm_cols=pc_n, rv_cols=rc_n)
+                mval = jnp.where(nf_v == float(1 + st.NOISE_MARBLE),
+                                 mar, mval)
+            if st.NOISE_SMOOTH in cfg.noise_modes:
+                # 0.5*(1 + noise(scale*p)) (texture.h:63)
+                smv = 0.5 * (1.0 + _perlin_noise(px_ * nsc_v, py_ * nsc_v,
+                                                 pz_ * nsc_v, T,
+                                                 pc_n, rc_n))
+                mval = jnp.where(nf_v == float(1 + st.NOISE_SMOOTH),
+                                 smv, mval)
+            if st.NOISE_TURB in cfg.noise_modes:
+                # turb(scale*p) (texture.h:65)
+                tbv = _turb(px_ * nsc_v, py_ * nsc_v, pz_ * nsc_v, T,
+                            perm_cols=pc_n, rv_cols=rc_n)
+                mval = jnp.where(nf_v == float(1 + st.NOISE_TURB),
+                                 tbv, mval)
             use_n = nf_v > 0.5
             albx = jnp.where(use_n, mval, albx)
             alby = jnp.where(use_n, mval, alby)
@@ -1112,30 +1151,27 @@ class _Cfg:
 
 
 def _noise_in_kernel_ok(scene: st.Scene) -> bool:
-    """Marble-mode Perlin on SPHERES is evaluated in-kernel (_marble);
-    other noise modes or noise on rects/media keep the wavefront path."""
+    """All three Perlin display modes (marble/smooth/turb, texture.h:55-69)
+    on spheres AND rects are evaluated in-kernel; noise-textured MEDIA keep
+    the wavefront path (the medium albedo is baked constant per row)."""
     if not scene.has_noise_tex:
         return True
     ttype = np.asarray(scene.textures.ttype)
-    nmode = np.asarray(scene.textures.noise_mode)
-    if np.any((ttype == st.TEX_NOISE) & (nmode != st.NOISE_MARBLE)):
-        return False
     mat_tex = np.asarray(scene.materials.tex)
-    for prims, mats in ((scene.rects, np.asarray(scene.rects.mat)),
-                        (scene.media, np.asarray(scene.media.mat))):
-        act = np.asarray(prims.active)
-        if act.any() and np.any(ttype[mat_tex[mats[act]]] == st.TEX_NOISE):
-            return False
+    act = np.asarray(scene.media.active)
+    mats = np.asarray(scene.media.mat)
+    if act.any() and np.any(ttype[mat_tex[mats[act]]] == st.TEX_NOISE):
+        return False
     return True
 
 
 def supports_scene(scene: st.Scene) -> bool:
     """True when the megakernel covers this scene: sphere/rect geometry,
-    constant + checker textures, marble Perlin on spheres, constant media,
-    any background, lights + one-sample MIS (rect and sphere lights). Out
-    of scope: smooth/turb noise modes, noise on rects, image textures,
-    BVH-routed scenes, normal-debug rendering, non-MIS diffuse
-    strategies."""
+    constant + checker + Perlin-noise textures (all three display modes,
+    spheres and rects), constant media, any background, lights +
+    one-sample MIS (rect and sphere lights). Out of scope: noise-textured
+    media, image textures, BVH-routed scenes, normal-debug rendering,
+    non-MIS diffuse strategies."""
     return (scene.bvh is None  # BVH scenes route through closest_hit
             and _noise_in_kernel_ok(scene)
             and not scene.has_image_tex
@@ -1281,10 +1317,14 @@ def build_tables(scene: st.Scene, SB: int = 64):
     chk = (ttype_np[ti] == st.TEX_CHECKER).astype(np.float32)
     evc = col_all[np.asarray(tex.even)[ti]]
     odc = col_all[np.asarray(tex.odd)[ti]]
-    # marble-noise textures: flag + scale rows for the in-kernel Perlin
-    noi = (ttype_np[ti] == st.TEX_NOISE).astype(np.float32)
+    # noise textures: mode flag (1 + NOISE_*, 0 = not noise) + scale rows
+    # for the in-kernel Perlin (all three display modes, texture.h:55-69)
+    nmode_np = np.asarray(tex.noise_mode)
+    is_noi = ttype_np[ti] == st.TEX_NOISE
+    noi = np.where(is_noi, 1.0 + nmode_np[ti], 0.0).astype(np.float32)
     nscale = np.asarray(tex.scale, np.float32)[ti]
-    has_noise = bool(n and np.any(noi[actm] > 0))
+    noise_modes = ({int(m) for m in nmode_np[ti][is_noi & actm]}
+                   if n else set())
 
     attr_tab = np.zeros((A_ROWS, S), np.float32)
     for row, v in ((A_CX, c0p[:, 0]), (A_CY, c0p[:, 1]), (A_CZ, c0p[:, 2]),
@@ -1356,6 +1396,10 @@ def build_tables(scene: st.Scene, SB: int = 64):
                 col_np[int(np.asarray(tex.even)[ti_r])]
             rect_tab[i, RT_ODDX:RT_ODDZ + 1] = \
                 col_np[int(np.asarray(tex.odd)[ti_r])]
+        elif int(np.asarray(tex.ttype)[ti_r]) == st.TEX_NOISE:
+            rect_tab[i, RT_NOI] = 1.0 + float(nmode_np[ti_r])
+            rect_tab[i, RT_NSC] = float(np.asarray(tex.scale)[ti_r])
+            noise_modes.add(int(nmode_np[ti_r]))
         for lane, v in ((RT_A0, rects.a0), (RT_A1, rects.a1),
                         (RT_B0, rects.b0), (RT_B1, rects.b1),
                         (RT_K, rects.k)):
@@ -1464,7 +1508,8 @@ def build_tables(scene: st.Scene, SB: int = 64):
                 has_spheres=n > 0,
                 has_light=has_light,
                 has_checker=bool(scene.has_checker_tex),
-                has_noise=has_noise,
+                has_noise=bool(noise_modes),
+                noise_modes=tuple(sorted(noise_modes)),
                 has_iso=V > 0,
                 R=R, rect_axes=tuple(rect_axes),
                 rect_rot=tuple(rect_rot), rect_trans=tuple(rect_trans),
@@ -1602,6 +1647,7 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
                has_light=meta["has_light"],
                has_checker=meta["has_checker"],
                has_noise=meta["has_noise"],
+               noise_modes=meta["noise_modes"],
                has_iso=meta["has_iso"],
                R=meta["R"], rect_axes=meta["rect_axes"],
                rect_rot=meta["rect_rot"], rect_trans=meta["rect_trans"],

@@ -125,6 +125,33 @@ def test_mega_noise_scenes_match_wavefront_statistically():
         assert np.abs(_blocks(img, 4) - _blocks(ref, 4)).max() < 0.35, name
 
 
+def test_mega_noise_modes_and_rect_noise_match_wavefront():
+    """Smooth/turb display modes (texture.h:63-65) and a noise-textured
+    rect, all evaluated in-kernel, vs the wavefront integrator."""
+    from raytracingweekend_tpu.models.builder import SceneBuilder
+
+    b = SceneBuilder()
+    sm = b.lambertian(b.noise(3.0, mode=1))   # NOISE_SMOOTH
+    tb = b.lambertian(b.noise(2.0, mode=2))   # NOISE_TURB
+    b.sphere((0, -1000, 0), 1000.0, sm)
+    b.sphere((0, 1, 0), 1.0, tb)
+    b.rect("xy", -2.0, 2.0, 0.0, 2.5, -2.0,
+           b.lambertian(b.noise(4.0, mode=0)))  # marble wall
+    b.camera((6, 2, 5), (0, 1, 0), (0, 1, 0), 40.0, 1.0, 0.0, 10.0)
+    scene = b.build()
+    assert mk.supports_scene(scene)
+    nx = ny = 16
+    spp = 8
+    img, segs = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=8,
+                              T=128, interpret=True)
+    img = np.asarray(img) / spp
+    ref = np.asarray(render_chunk(scene, KEY, nx, ny, spp, 8)) / spp
+    assert float(segs) > nx * ny * spp
+    np.testing.assert_allclose(img.mean(axis=(0, 1)),
+                               ref.mean(axis=(0, 1)), atol=0.06)
+    assert np.abs(_blocks(img, 4) - _blocks(ref, 4)).max() < 0.35
+
+
 def test_mega_cornell_smoke_matches_wavefront_statistically():
     """Constant media (stochastic scatter in rotated boxes) + isotropic
     shading through the megakernel."""
