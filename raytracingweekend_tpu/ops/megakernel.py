@@ -103,10 +103,12 @@ MED_LANES = 128
 # ---- f32 state scratch rows: (24, T) ----
 # R_BEST: running closest-t during the cluster sweep (tightens the slab
 # gate cluster-over-cluster). R_BLK: executed (cluster, chunk) block count
-# per lane — the on-chip cull-rate instrument (out row 6).
+# per lane — the on-chip cull-rate instrument (out row 6). R_BIDX: winning
+# sphere slot as f32 (cfg.idx_extract mode; S = miss sentinel) — replaces
+# the (S, T) candidate-t scratch entirely.
 (R_OX, R_OY, R_OZ, R_DX, R_DY, R_DZ, R_TIME, R_TPX, R_TPY, R_TPZ,
  R_RX, R_RY, R_RZ, R_AX, R_AY, R_AZ, R_SEGS, R_DEPTH, R_DONE, R_ITERS,
- R_BEST, R_BLK) = range(22)
+ R_BEST, R_BLK, R_BIDX) = range(23)
 STATE_ROWS = 24
 
 
@@ -279,8 +281,13 @@ def _onb(wx, wy, wz):
 
 def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             light_ref, med_ref, nperm_ref, nrvh_ref, nrvl_ref, seed_ref,
-            out_ref, tc_ref, sf_ref, *, cfg):
+            out_ref, *scratch, cfg):
     """One tile: T per-pixel slots, each tracing cfg.spp full paths."""
+    if cfg.idx_extract:
+        (sf_ref,) = scratch
+        tc_ref = None
+    else:
+        tc_ref, sf_ref = scratch
     T = cfg.T
     SB = cfg.SB
     C = cfg.C
@@ -391,6 +398,9 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         idz_ = 1.0 / dz
         if cfg.has_spheres:
             sf_ref[R_BEST:R_BEST + 1, :] = jnp.full((1, T), BIG, jnp.float32)
+            if cfg.idx_extract:
+                sf_ref[R_BIDX:R_BIDX + 1, :] = jnp.full(
+                    (1, T), float(cfg.S), jnp.float32)
         # Votes are per (cluster, lane-chunk): coherent sub-groups of the
         # tile skip whole quadratic blocks a whole-tile any() could not.
         NCH = cfg.chunks
@@ -458,20 +468,39 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     tn = -b - sq
                     tc = jnp.where(tn > t_min, tn, -b + sq)
                     tcv = jnp.where(tc > t_min, tc, BIG)
-                    tc_ref[lo:lo + SB, sl] = tcv
-                    sf_ref[R_BEST:R_BEST + 1, sl] = jnp.minimum(
-                        sf_ref[R_BEST:R_BEST + 1, sl],
-                        jnp.min(tcv, axis=0, keepdims=True))
+                    blk_min = jnp.min(tcv, axis=0, keepdims=True)
+                    old_best = sf_ref[R_BEST:R_BEST + 1, sl]
+                    if cfg.idx_extract:
+                        # Running (best_t, winner-slot) merge: the block's
+                        # argmin (equality against the block min; smallest
+                        # sub-row wins in-block ties) replaces the winner
+                        # iff it strictly beats the running best — across
+                        # blocks the earlier (importance-ordered) cluster
+                        # keeps exact ties, mirroring the reference's
+                        # strict `t < closest` list sweep.
+                        upd = blk_min < old_best
+                        sub = jax.lax.broadcasted_iota(
+                            jnp.float32, (SB, W), 0)
+                        cand = jnp.min(
+                            jnp.where(tcv == blk_min, sub, float(cfg.S)),
+                            axis=0, keepdims=True) + float(lo)
+                        sf_ref[R_BIDX:R_BIDX + 1, sl] = jnp.where(
+                            upd, cand, sf_ref[R_BIDX:R_BIDX + 1, sl])
+                    else:
+                        tc_ref[lo:lo + SB, sl] = tcv
+                    sf_ref[R_BEST:R_BEST + 1, sl] = jnp.minimum(old_best,
+                                                                blk_min)
                     sf_ref[R_BLK:R_BLK + 1, sl] = (
                         sf_ref[R_BLK:R_BLK + 1, sl] + 1.0)
 
-                @pl.when(jnp.logical_not(vote))
-                def _(lo=lo, sl=sl):
-                    # BIG-fill is load-bearing: the one-hot extraction
-                    # tests tc == best, and stale floats from a previous
-                    # bounce would collide at ~2^-23 per pair.
-                    tc_ref[lo:lo + SB, sl] = jnp.full((SB, W), BIG,
-                                                      jnp.float32)
+                if not cfg.idx_extract:
+                    @pl.when(jnp.logical_not(vote))
+                    def _(lo=lo, sl=sl):
+                        # BIG-fill is load-bearing: the one-hot extraction
+                        # tests tc == best, and stale floats from a
+                        # previous bounce would collide at ~2^-23 per pair.
+                        tc_ref[lo:lo + SB, sl] = jnp.full((SB, W), BIG,
+                                                          jnp.float32)
 
         if cfg.has_spheres:
             # The per-block mins folded into R_BEST ARE the global min:
@@ -655,8 +684,18 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
 
         if cfg.has_spheres:
             # ---- one-hot MXU attribute extraction ----
-            maskf = ((tc_ref[...] == s_best)
-                     & (s_best < _HIT_CUT)).astype(jnp.float32)
+            if cfg.idx_extract:
+                # winner one-hot from the slot-index row; miss lanes carry
+                # the out-of-range sentinel S, so the one-hot (and thus
+                # every extracted attribute) is all-zero there
+                iota_s = jax.lax.broadcasted_iota(jnp.float32,
+                                                  (cfg.S, T), 0)
+                maskf = (iota_s
+                         == sf_ref[R_BIDX:R_BIDX + 1, :]).astype(
+                             jnp.float32)
+            else:
+                maskf = ((tc_ref[...] == s_best)
+                         & (s_best < _HIT_CUT)).astype(jnp.float32)
             attrs = jax.lax.dot_general(
                 attr_ref[...], maskf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (16, T)
@@ -1564,10 +1603,9 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
         out_specs=pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, T), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((S, T), jnp.float32),
-            pltpu.VMEM((STATE_ROWS, T), jnp.float32),
-        ],
+        scratch_shapes=(
+            ([] if cfg.idx_extract else [pltpu.VMEM((S, T), jnp.float32)])
+            + [pltpu.VMEM((STATE_ROWS, T), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         # The TPU-semantics interpreter (not the generic one) implements
@@ -1608,7 +1646,7 @@ def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
 def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
               max_depth: int = 50, rr_depth: int | None = 4,
               T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
-              chunks: int = 1):
+              chunks: int = 1, idx_extract: bool = False):
     """Host-side launch plan: packed tables + static kernel cfg for
     _mega_call at this geometry. Shared by trace_mega and the sharded
     multi-chip entry (parallel.mesh.render_sharded_mega, which passes the
@@ -1624,8 +1662,10 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
     meta = tabs[-1]
     # Keep the candidate-t scratch (S, T) within a conservative VMEM slice
     # for big sphere tables (T=4096-class shapes measurably spill).
+    # idx_extract mode has NO (S, T) scratch: the tile width survives big
+    # sphere tables untouched.
     S_padded = meta["S"]
-    while T > 512 and S_padded * T * 4 > (8 << 20):
+    while (not idx_extract) and T > 512 and S_padded * T * 4 > (8 << 20):
         T //= 2
     T = max((T // 128) * 128, 512)  # lane slices must be 128-aligned
     if T % k:
@@ -1636,7 +1676,8 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
         chunks -= 1
     cfg = _Cfg(T=T, SB=meta["SB"], C=meta["C"], S=meta["S"], nx=nx, ny=ny,
                spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,
-               chunks=chunks, clus_moving=meta["clus_moving"],
+               chunks=chunks, idx_extract=idx_extract,
+               clus_moving=meta["clus_moving"],
                uniform_time=meta["uniform_time"], ut_t0=meta["ut_t0"],
                ut_idt=meta["ut_idt"],
                t_min=0.001, moving=meta["moving"], lens=meta["lens"],
@@ -1662,7 +1703,8 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
 def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                max_depth: int = 50, rr_depth: int | None = 4,
                T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
-               chunks: int = 1, interpret: bool = False,
+               chunks: int = 1, idx_extract: bool = False,
+               interpret: bool = False,
                return_stats: bool = False):
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
     segment count). Host-side prep is eager (concrete scene required).
@@ -1680,7 +1722,7 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     tabs, cfg, T, k = make_plan(scene, nx, ny, spp, max_depth=max_depth,
                                 rr_depth=rr_depth, T=T, SB=SB,
                                 slots_per_pixel=slots_per_pixel,
-                                chunks=chunks)
+                                chunks=chunks, idx_extract=idx_extract)
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, cam_vec,
      meta) = tabs
     pixf, inv = _pixel_layout(nx, ny, T, k)

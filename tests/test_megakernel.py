@@ -71,6 +71,26 @@ def test_chunked_culling_is_exact():
         assert float(blk2) <= float(blk1) + 1e-6, name
 
 
+def test_idx_extract_is_bitwise_exact():
+    """Index-based winner extraction (cfg.idx_extract: running (best_t,
+    slot) merge per block, one-hot from the index row, NO (S, T) candidate
+    scratch) must be bitwise identical to the equality-one-hot path: every
+    attribute is the exact f32 table value through a one-hot dot either
+    way, and strict `blk_min < best` reproduces the reference's
+    `t < closest` winner."""
+    for name, sb, ch in (("random_balls", 64, 2), ("cornell_box", 8, 1),
+                         ("dielectric", 32, 1)):
+        scene = make_scene(name, 1.0)
+        a, sa = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=10, T=256,
+                              SB=sb, chunks=ch, interpret=True)
+        b, sb_ = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=10, T=256,
+                               SB=sb, chunks=ch, idx_extract=True,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+        assert float(sa) == float(sb_), name
+
+
 def test_slots_per_pixel_agrees():
     scene = make_scene("dielectric", 1.0)
     a, _ = mk.trace_mega(KEY, scene, 16, 16, 8, max_depth=8, T=128, SB=32,
