@@ -1,8 +1,11 @@
-"""Sweep (SB, chunks) megakernel culling configs in ONE process (real TPU).
+"""Sweep megakernel (SB, chunks, idx_extract, T) configs in ONE process
+(real TPU).
 
     python tools/cull_sweep.py --scene random_balls --nx 1200 --ny 800 \
-        --spp 64 --configs 512:1 64:1 64:8 64:16 128:8 32:8
+        --spp 64 --configs 512:1 64:8 64:8:1 32:8:1:4096
 
+Config spec is SB:chunks[:idx[:T]] — idx=1 switches on index-based winner
+extraction (no (S,T) scratch), T overrides the tile width for that config.
 One process = one TPU job (tunnel discipline) and the runtime init is paid
 once; each config still compiles its own kernel (server-side, cached in
 .jax_cache). Reports M segments/s, lane utilization, and cull-survival rate
@@ -42,13 +45,16 @@ def main():
     key = jax.random.key(0)
 
     for spec in args.configs:
-        sb_s, ch_s = spec.split(":")
-        SB, chunks = int(sb_s), int(ch_s)
+        parts = spec.split(":")
+        SB, chunks = int(parts[0]), int(parts[1])
+        idx = bool(int(parts[2])) if len(parts) > 2 else False
+        T_cfg = int(parts[3]) if len(parts) > 3 else args.T
 
         def launch(k):
             return mk.trace_mega(k, scene, args.nx, args.ny, args.spp,
-                                 max_depth=args.max_depth, T=args.T,
-                                 SB=SB, chunks=chunks, return_stats=True)
+                                 max_depth=args.max_depth, T=T_cfg,
+                                 SB=SB, chunks=chunks, idx_extract=idx,
+                                 return_stats=True)
 
         t_c = time.perf_counter()
         for w in range(2):  # compile, then absorb one-time dispatch
@@ -68,12 +74,14 @@ def main():
         iters = sum(float(li) for li, _ in stats)
         blocks = sum(float(blk) for _, blk in stats)
         # the kernel's own clamp/dedupe decide SB and C — read them back
-        _, cfg, _, _ = mk.make_plan(scene, args.nx, args.ny, args.spp,
-                                    max_depth=args.max_depth, T=args.T,
-                                    SB=SB, chunks=chunks)
+        _, cfg, T_eff, _ = mk.make_plan(scene, args.nx, args.ny, args.spp,
+                                        max_depth=args.max_depth, T=T_cfg,
+                                        SB=SB, chunks=chunks,
+                                        idx_extract=idx)
         C = cfg.C
         surv = blocks / max(iters * C, 1.0)
-        print(f"SB={SB:<4d} chunks={chunks:<3d} "
+        print(f"SB={SB:<4d} chunks={chunks:<3d} idx={int(idx)} "
+              f"T={T_eff:<5d} "
               f"{total / dt / 1e6:8.1f} M seg/s  "
               f"util={total / max(iters, 1.0):.3f} "
               f"cull_survival={surv:.3f} (C={C})  "
