@@ -698,7 +698,7 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                          & (s_best < _HIT_CUT)).astype(jnp.float32)
             attrs = jax.lax.dot_general(
                 attr_ref[...], maskf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (16, T)
+                preferred_element_type=jnp.float32)          # (A_ROWS, T)
 
             def at(r):
                 return attrs[r:r + 1, :]

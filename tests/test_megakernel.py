@@ -77,7 +77,11 @@ def test_idx_extract_is_bitwise_exact():
     scratch) must be bitwise identical to the equality-one-hot path: every
     attribute is the exact f32 table value through a one-hot dot either
     way, and strict `blk_min < best` reproduces the reference's
-    `t < closest` winner."""
+    `t < closest` winner. (Equivalence assumes no exact f32 t-tie between
+    DISTINCT spheres on a winning lane — there the tc path sums both
+    attribute rows while idx picks one; build_tables dedupes coincident
+    geometry and these scenes have no symmetric tangency, so no tie can
+    occur here.)"""
     for name, sb, ch in (("random_balls", 64, 2), ("cornell_box", 8, 1),
                          ("dielectric", 32, 1)):
         scene = make_scene(name, 1.0)

@@ -31,7 +31,8 @@ def main():
     ap.add_argument("--launches", type=int, default=2)
     ap.add_argument("--T", type=int, default=2048)
     ap.add_argument("--configs", nargs="+", default=["512:1", "64:1", "64:8"],
-                    help="SB:chunks pairs")
+                    help="SB:chunks[:idx[:T]] specs (idx=1 -> index-based "
+                         "winner extraction; T = per-config tile width)")
     args = ap.parse_args()
 
     import jax
