@@ -28,6 +28,8 @@ def main():
                     help="sphere cluster size (== table size: culling off)")
     ap.add_argument("--chunks", type=int, default=1,
                     help="lane-chunks per tile for cluster-skip votes")
+    ap.add_argument("--idx", action="store_true",
+                    help="index-based winner extraction (no (S,T) scratch)")
     ap.add_argument("--stats", action="store_true",
                     help="also report utilization and cull-survival rate")
     args = ap.parse_args()
@@ -44,7 +46,8 @@ def main():
     def launch(k):
         return mk.trace_mega(k, scene, args.nx, args.ny, args.spp,
                              max_depth=args.max_depth, T=args.T, SB=args.SB,
-                             chunks=args.chunks, return_stats=True)
+                             chunks=args.chunks, idx_extract=args.idx,
+                             return_stats=True)
 
     key = jax.random.key(0)
     for w in range(2):  # compile, then absorb one-time dispatch
@@ -66,13 +69,14 @@ def main():
         blocks = sum(float(blk) for _, blk in stats)
         _, cfg, _, _ = mk.make_plan(scene, args.nx, args.ny, args.spp,
                                     max_depth=args.max_depth, T=args.T,
-                                    SB=args.SB, chunks=args.chunks)
+                                    SB=args.SB, chunks=args.chunks,
+                                    idx_extract=args.idx)
         C = cfg.C
         surv = blocks / max(iters * C, 1.0)
         extra = (f" util={total / max(iters, 1.0):.3f}"
                  f" cull_survival={surv:.3f} (C={C})")
     print(f"{args.scene} {args.nx}x{args.ny}@{args.spp}spp T={args.T} "
-          f"SB={args.SB} chunks={args.chunks}: "
+          f"SB={args.SB} chunks={args.chunks} idx={int(args.idx)}: "
           f"{total / 1e6:.1f}M segments in {dt:.3f}s = "
           f"{rate / 1e6:.1f} M segments/s{extra}", flush=True)
 
