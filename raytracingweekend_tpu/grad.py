@@ -58,13 +58,19 @@ def l2_loss(scene: st.Scene, target, key, nx: int, ny: int, spp: int,
     return jnp.mean((img - target) ** 2)
 
 
-def fit_texture_colors(scene: st.Scene, target, *, key, nx: int, ny: int,
-                       spp: int, max_depth: int = 8, steps: int = 100,
-                       lr: float = 0.5,
-                       log_fn: Callable[..., None] | None = None,
-                       metrics_path: str | None = None):
-    """Inverse-rendering demo: gradient-descend the texture color table to
-    match a target image. Returns (fitted scene, final loss).
+def fit_scene_params(scene: st.Scene, target, *, get_params, set_params,
+                     key, nx: int, ny: int, spp: int, max_depth: int = 8,
+                     steps: int = 100, lr: float = 0.5,
+                     postprocess=None,
+                     log_fn: Callable[..., None] | None = None,
+                     metrics_path: str | None = None):
+    """Inverse rendering over ANY differentiable scene-parameter subset:
+    Adam-descend the pixel L2 loss w.r.t. the pytree `get_params(scene)`
+    returns (texture colors, emission, sphere centers/radii, fuzz, IOR —
+    any Scene leaves; BASELINE.md's inverse-rendering configs).
+    `set_params(scene, params)` writes the subset back; `postprocess`
+    optionally projects params after each update (e.g. clip colors >= 0).
+    Returns (fitted scene, final loss).
 
     log_fn(step, loss, grad_norm) is called per step (older two-argument
     callbacks still work); metrics_path appends one JSON line per step with
@@ -73,13 +79,13 @@ def fit_texture_colors(scene: st.Scene, target, *, key, nx: int, ny: int,
 
     import optax
 
-    params = scene.textures.color
+    params = get_params(scene)
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
-    def loss_fn(colors, k):
-        sc = scene.replace(textures=scene.textures.replace(color=colors))
-        return l2_loss(sc, target, k, nx, ny, spp, max_depth)
+    def loss_fn(p, k):
+        return l2_loss(set_params(scene, p), target, k, nx, ny, spp,
+                       max_depth)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     legacy_log = (log_fn is not None
@@ -91,10 +97,13 @@ def fit_texture_colors(scene: st.Scene, target, *, key, nx: int, ny: int,
         loss, g = grad_fn(params, k)
         # the float() is a device->host sync (~28 ms through the tunnel):
         # only pay it when a consumer asked for the gradient norm
-        gnorm = float(jnp.sqrt(jnp.sum(g * g))) if want_gnorm else 0.0
+        gnorm = (float(jnp.sqrt(sum(jnp.sum(x * x)
+                                    for x in jax.tree.leaves(g))))
+                 if want_gnorm else 0.0)
         updates, opt_state = opt.update(g, opt_state)
         params = optax.apply_updates(params, updates)
-        params = jnp.clip(params, 0.0, None)
+        if postprocess is not None:
+            params = postprocess(params)
         if log_fn is not None:
             if legacy_log:
                 log_fn(step, float(loss))
@@ -105,5 +114,22 @@ def fit_texture_colors(scene: st.Scene, target, *, key, nx: int, ny: int,
             with open(metrics_path, "a") as mf:
                 mf.write(json.dumps({"step": step, "loss": float(loss),
                                      "grad_norm": gnorm}) + "\n")
-    fitted = scene.replace(textures=scene.textures.replace(color=params))
-    return fitted, float(loss)
+    return set_params(scene, params), float(loss)
+
+
+def fit_texture_colors(scene: st.Scene, target, *, key, nx: int, ny: int,
+                       spp: int, max_depth: int = 8, steps: int = 100,
+                       lr: float = 0.5,
+                       log_fn: Callable[..., None] | None = None,
+                       metrics_path: str | None = None):
+    """Inverse-rendering demo: gradient-descend the texture color table to
+    match a target image (fit_scene_params specialized to textures.color).
+    Returns (fitted scene, final loss)."""
+    return fit_scene_params(
+        scene, target,
+        get_params=lambda sc: sc.textures.color,
+        set_params=lambda sc, p: sc.replace(
+            textures=sc.textures.replace(color=p)),
+        postprocess=lambda p: jnp.clip(p, 0.0, None),
+        key=key, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
+        steps=steps, lr=lr, log_fn=log_fn, metrics_path=metrics_path)

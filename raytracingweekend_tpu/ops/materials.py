@@ -81,6 +81,15 @@ def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
     materials, attenuation * L(next) for specular ones.
     """
     N = d_in.shape[0]
+    # Miss lanes carry p = o + BIG*d (~1e37). Squaring that overflows to
+    # inf and yields primal NaNs downstream (0/0 in the light-cone ONB
+    # normalize, inf-inf in rect light pdfs, sin(1e37) in procedural
+    # textures). The forward results are masked out, but reverse-mode VJPs
+    # multiply by primal values, so ONE such lane poisons every scene
+    # gradient (jax.grad -> NaN in any lights-list scene). Zeroing the
+    # dead lanes' shading point is invisible to the masked forward and
+    # keeps autodiff finite.
+    hit = hit.replace(p=jnp.where(hit.hit[:, None], hit.p, 0.0))
     if hit.sattr is not None and not scene.needs_legacy_textures:
         # packed fast path: zero material-table gathers (ops/packing.py)
         mtype = hit.sattr[:, packing.S_MTYPE].astype(jnp.int32)

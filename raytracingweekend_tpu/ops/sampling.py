@@ -95,7 +95,12 @@ def random_to_sphere(key, radius, distance_squared):
     ctm = linalg.safe_sqrt(1.0 - radius * radius / distance_squared)
     z = 1.0 + r2 * (ctm - 1.0)
     phi = 2.0 * math.pi * r1
-    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    # safe_sqrt, not sqrt(max(., 0)): a draw with r2 == 0 lands exactly on
+    # the cone axis (z == 1), where d sqrt(1-z^2)/dz is inf — with z a
+    # function of the light's center/radius that inf reaches jax.grad of
+    # every geometry parameter as NaN (one bad lane poisons the whole
+    # gradient). The double-where differentiates the axis lane as constant.
+    s = linalg.safe_sqrt(1.0 - z * z)
     return jnp.stack([jnp.cos(phi) * s, jnp.sin(phi) * s, z], axis=-1)
 
 

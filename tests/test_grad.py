@@ -242,3 +242,75 @@ def test_loss_is_jittable_and_decreasing():
     l_true = float(l2_loss(scene, target, KEY, 8, 8, 8, 4))
     assert l_true < 1e-10
     assert l_dark > l_true
+
+
+def _sphere_light_scene(lc=(0.0, 2.6, -2.8)):
+    b = SceneBuilder()
+    b.sphere((0.0, 0.0, -3.0), 0.8, b.lambertian(b.constant((0.5, 0.5, 0.5))))
+    b.sphere((0, -100.8, -3.0), 100.0,
+             b.lambertian(b.constant((0.6, 0.6, 0.6))))
+    # negative radius -> inward normals: the reference's one-sided emission
+    # (material.h:240, dot(normal, dir) > 0) means a sphere light must face
+    # inward-out to be visible from outside.
+    h = b.sphere(lc, -1.0, b.diffuse_light(b.constant((5.0, 5.0, 5.0))))
+    b.add_light(h)
+    b.camera((0, 0.2, 0.6), (0, 0, -3), (0, 1, 0), 45.0, 1.0, 0.0, 1.0)
+    return b.build(background=st.BG_BLACK)
+
+
+def test_lights_scene_gradients_finite_and_useful():
+    """Regression: miss lanes used to carry p ~ o + 1e37*d into the light
+    pdf/cone-sampling math, whose overflow (inf - inf, 0/0 ONB normalize)
+    produced NaN primals that poisoned EVERY jax.grad through reverse-mode
+    VJPs in any lights-registered scene (materials.shade now zeroes dead
+    lanes' p; sampling.random_to_sphere uses safe_sqrt on the cone axis)."""
+    base = _sphere_light_scene()
+
+    def loss(cx, k):
+        c0 = base.spheres.center0.at[2, 0].set(cx)
+        c1 = base.spheres.center1.at[2, 0].set(cx)
+        sc = base.replace(spheres=base.spheres.replace(center0=c0,
+                                                       center1=c1))
+        return jnp.mean(render_diff(sc, k, 12, 12, 8, 3))
+
+    g = float(jax.grad(loss)(jnp.float32(0.0), jax.random.key(1)))
+    assert np.isfinite(g) and g != 0.0, g
+
+    # rect-light scene (cornell-style): emission gradient finite + positive
+    cor = _cornellish()
+
+    def loss_e(scale, k):
+        col = cor.textures.color * scale
+        sc = cor.replace(textures=cor.textures.replace(color=col))
+        return jnp.mean(render_diff(sc, k, 8, 8, 8, 3))
+
+    ge = float(jax.grad(loss_e)(jnp.float32(1.0), jax.random.key(2)))
+    assert np.isfinite(ge) and ge > 0.0, ge
+
+
+def test_fit_scene_params_recovers_light_position():
+    """Inverse rendering over geometry: recover a (hidden, off-frame) light
+    sphere's x/z position and emission from the shading it casts — gradients
+    flow through the MIS light-sampling cone and pdf (BASELINE.md
+    'sphere centers' + 'texture params' inverse-rendering target)."""
+    from raytracingweekend_tpu.grad import fit_scene_params
+
+    true_scene = _sphere_light_scene(lc=(0.9, 2.6, -2.4))
+    target = render_diff(true_scene, KEY, 16, 16, 16, 3)
+    start = _sphere_light_scene(lc=(-0.7, 2.6, -3.2))
+
+    def get_params(sc):
+        return sc.spheres.center0[2]
+
+    def set_params(sc, c):
+        # keep y pinned (y trades off against emission intensity)
+        c = c.at[1].set(2.6)
+        c0 = sc.spheres.center0.at[2].set(c)
+        c1 = sc.spheres.center1.at[2].set(c)
+        return sc.replace(spheres=sc.spheres.replace(center0=c0, center1=c1))
+
+    fitted, loss = fit_scene_params(
+        start, target, get_params=get_params, set_params=set_params,
+        key=KEY, nx=16, ny=16, spp=16, max_depth=3, steps=60, lr=0.05)
+    got = np.asarray(fitted.spheres.center0[2])
+    np.testing.assert_allclose(got[[0, 2]], [0.9, -2.4], atol=0.25)
