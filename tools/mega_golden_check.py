@@ -30,6 +30,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", default="cornell_box,random_balls,dielectric")
     ap.add_argument("--launch-spp", type=int, default=512)
+    ap.add_argument("--SB", type=int, default=512)
+    ap.add_argument("--chunks", type=int, default=1)
+    ap.add_argument("--idx", action="store_true",
+                    help="index-based winner extraction")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +59,8 @@ def main():
             step = min(args.launch_spp, spp - done)
             img, _ = mk.trace_mega(jax.random.fold_in(key, done), scene,
                                    nx, ny, step, max_depth=50,
+                                   SB=args.SB, chunks=args.chunks,
+                                   idx_extract=args.idx,
                                    interpret=interp)
             acc += np.asarray(img, np.float64)
             done += step
