@@ -83,7 +83,8 @@ def test_idx_extract_is_bitwise_exact():
     geometry and these scenes have no symmetric tangency, so no tie can
     occur here.)"""
     for name, sb, ch in (("random_balls", 64, 2), ("cornell_box", 8, 1),
-                         ("dielectric", 32, 1)):
+                         ("dielectric", 32, 1),
+                         ("two_perlin_spheres", 8, 1)):
         scene = make_scene(name, 1.0)
         a, sa = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=10, T=256,
                               SB=sb, chunks=ch, interpret=True)
