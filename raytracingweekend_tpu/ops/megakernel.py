@@ -92,7 +92,7 @@ LIGHT_LANES = 128
 # min/max; NIRHO = -1/density. ----
 (MD_P0X, MD_P0Y, MD_P0Z, MD_P1X, MD_P1Y, MD_P1Z, MD_COS, MD_SIN,
  MD_OFFX, MD_OFFY, MD_OFFZ, MD_NIRHO, MD_ALBX, MD_ALBY,
- MD_ALBZ) = range(15)
+ MD_ALBZ, MD_NOI, MD_NSC) = range(17)
 MED_LANES = 128
 
 # ---- camera parameter lanes: (1, 128) ----
@@ -612,6 +612,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             m_abx = zzm
             m_aby = zzm
             m_abz = zzm
+            m_noi = zzm
+            m_nsc = zzm
             um = _uniforms(cfg.V, T, seed, tile, it, salt=4)
             for vi in range(cfg.V):
                 def ml(kk, vi=vi):
@@ -674,6 +676,9 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 m_abx = jnp.where(okm, ml(MD_ALBX), m_abx)
                 m_aby = jnp.where(okm, ml(MD_ALBY), m_aby)
                 m_abz = jnp.where(okm, ml(MD_ALBZ), m_abz)
+                if cfg.has_noise:
+                    m_noi = jnp.where(okm, ml(MD_NOI), m_noi)
+                    m_nsc = jnp.where(okm, ml(MD_NSC), m_nsc)
             use_med = md_t < best_t
             best_t = jnp.minimum(best_t, md_t)
         hit = best_t < _HIT_CUT
@@ -774,7 +779,10 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             alby = jnp.where(use_med, m_aby, alby)
             albz = jnp.where(use_med, m_abz, albz)
             if cfg.has_noise:
-                nf_v = jnp.where(use_med, 0.0, nf_v)
+                # noise-textured isotropic media (hittable.h:469-473 with a
+                # noise phase texture): evaluated at the scatter vertex
+                nf_v = jnp.where(use_med, m_noi, nf_v)
+                nsc_v = jnp.where(use_med, m_nsc, nsc_v)
             if cfg.has_checker:
                 chk_v = jnp.where(use_med, 0.0, chk_v)
 
@@ -1189,30 +1197,14 @@ class _Cfg:
         return isinstance(other, _Cfg) and self._key == other._key
 
 
-def _noise_in_kernel_ok(scene: st.Scene) -> bool:
-    """All three Perlin display modes (marble/smooth/turb, texture.h:55-69)
-    on spheres AND rects are evaluated in-kernel; noise-textured MEDIA keep
-    the wavefront path (the medium albedo is baked constant per row)."""
-    if not scene.has_noise_tex:
-        return True
-    ttype = np.asarray(scene.textures.ttype)
-    mat_tex = np.asarray(scene.materials.tex)
-    act = np.asarray(scene.media.active)
-    mats = np.asarray(scene.media.mat)
-    if act.any() and np.any(ttype[mat_tex[mats[act]]] == st.TEX_NOISE):
-        return False
-    return True
-
-
 def supports_scene(scene: st.Scene) -> bool:
     """True when the megakernel covers this scene: sphere/rect geometry,
     constant + checker + Perlin-noise textures (all three display modes,
-    spheres and rects), constant media, any background, lights +
-    one-sample MIS (rect and sphere lights). Out of scope: noise-textured
-    media, image textures, BVH-routed scenes, normal-debug rendering,
+    on spheres, rects, and isotropic media), constant media, any
+    background, lights + one-sample MIS (rect and sphere lights). Out of
+    scope: image textures, BVH-routed scenes, normal-debug rendering,
     non-MIS diffuse strategies."""
     return (scene.bvh is None  # BVH scenes route through closest_hit
-            and _noise_in_kernel_ok(scene)
             and not scene.has_image_tex
             and not scene.needs_legacy_textures
             and scene.render_type == st.RENDER_SHADED
@@ -1515,8 +1507,12 @@ def build_tables(scene: st.Scene, SB: int = 64):
             med_tab[i, MD_SIN] = st_
             med_tab[i, MD_OFFX:MD_OFFZ + 1] = m_off[vv]
             med_tab[i, MD_NIRHO] = -1.0 / float(m_rho[vv])
-            med_tab[i, MD_ALBX:MD_ALBZ + 1] = \
-                col_np[int(tex_np[int(m_mat[vv])])]
+            ti_m = int(tex_np[int(m_mat[vv])])
+            med_tab[i, MD_ALBX:MD_ALBZ + 1] = col_np[ti_m]
+            if int(ttype_np[ti_m]) == st.TEX_NOISE:
+                med_tab[i, MD_NOI] = 1.0 + float(nmode_np[ti_m])
+                med_tab[i, MD_NSC] = float(np.asarray(tex.scale)[ti_m])
+                noise_modes.add(int(nmode_np[ti_m]))
 
     cam = scene.camera
     cam_vec = np.zeros((1, 128), np.float32)

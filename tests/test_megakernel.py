@@ -177,6 +177,31 @@ def test_mega_noise_modes_and_rect_noise_match_wavefront():
     assert np.abs(_blocks(img, 4) - _blocks(ref, 4)).max() < 0.35
 
 
+def test_mega_noise_medium_matches_wavefront():
+    """A noise-textured isotropic medium (marble phase albedo evaluated at
+    the scatter vertex) through the megakernel vs the wavefront."""
+    from raytracingweekend_tpu.models.builder import SceneBuilder
+
+    b = SceneBuilder()
+    b.sphere((0, -1000, 0), 1000.0,
+             b.lambertian(b.constant((0.6, 0.6, 0.6))))
+    b.constant_medium_sphere((0.0, 1.0, 0.0), 1.0, 1.5,
+                             b.isotropic(b.noise(3.0, mode=0)))
+    b.camera((0, 1.2, 5), (0, 1, 0), (0, 1, 0), 35.0, 1.0, 0.0, 10.0)
+    scene = b.build()
+    assert mk.supports_scene(scene)
+    nx = ny = 16
+    spp = 16
+    img, segs = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=10,
+                              T=128, interpret=True)
+    img = np.asarray(img) / spp
+    ref = np.asarray(render_chunk(scene, KEY, nx, ny, spp, 10)) / spp
+    assert float(segs) > nx * ny * spp
+    np.testing.assert_allclose(img.mean(axis=(0, 1)),
+                               ref.mean(axis=(0, 1)), atol=0.06)
+    assert np.abs(_blocks(img, 4) - _blocks(ref, 4)).max() < 0.35
+
+
 def test_mega_cornell_smoke_matches_wavefront_statistically():
     """Constant media (stochastic scatter in rotated boxes) + isotropic
     shading through the megakernel."""
