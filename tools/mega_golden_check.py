@@ -23,12 +23,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
 SPPS = {"dielectric": 4096, "cornell_box": 8192, "random_balls": 2048,
-        "cornell_smoke": 8192}
+        "cornell_smoke": 8192, "light_sample": 4096}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scenes", default="cornell_box,random_balls,dielectric")
+    ap.add_argument("--scenes",
+                    default="cornell_box,random_balls,dielectric,"
+                            "cornell_smoke,light_sample")
     ap.add_argument("--launch-spp", type=int, default=512)
     ap.add_argument("--SB", type=int, default=512)
     ap.add_argument("--chunks", type=int, default=1)
