@@ -87,7 +87,7 @@ def test_golden_blockwise(scene_name):
 
 # Full-resolution pixelwise suite (intended for TPU runs; hours on CPU).
 # Defined only under RTW_GOLDEN_FULL=1 so the default suite reports no
-# skips; tools/run_golden_full.py runs it and records the parity artifact.
+# skips; tools/golden_report.py runs it and records the parity artifact.
 if FULL:
     @pytest.mark.parametrize("scene_name", sorted(GOLDENS))
     def test_golden_pixelwise(scene_name):
