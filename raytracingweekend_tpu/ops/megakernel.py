@@ -388,11 +388,10 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                                         + jnp.where(active, 1.0, 0.0))
 
         # ---- cluster-culled sphere intersection (a = 1, unit dirs) ----
-        if cfg.has_spheres and cfg.moving and cfg.uniform_time:
-            # Every sphere shares (time0, 1/dt) (true for all reference
-            # scenes), so the motion fraction is a per-RAY row computed
-            # once per bounce instead of 2 ops per (sphere, ray).
-            fracu = (time - cfg.ut_t0) * cfg.ut_idt
+        # (uniform-time motion fraction is recomputed per chunk from the
+        # time slice — 2 VPU ops — rather than precomputed full-width and
+        # re-sliced, which trips the Mosaic broadcast-layout hazard noted
+        # in the chunk body)
         idx_ = 1.0 / dx
         idy_ = 1.0 / dy
         idz_ = 1.0 / dz
@@ -406,54 +405,75 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         NCH = cfg.chunks
         W = T // NCH
         for c in range(C if cfg.has_spheres else 0):
-            tx0 = (clus_ref[c, K_MINX] - ox) * idx_
-            tx1 = (clus_ref[c, K_MAXX] - ox) * idx_
-            ty0 = (clus_ref[c, K_MINY] - oy) * idy_
-            ty1 = (clus_ref[c, K_MAXY] - oy) * idy_
-            tz0 = (clus_ref[c, K_MINZ] - oz) * idz_
-            tz1 = (clus_ref[c, K_MAXZ] - oz) * idz_
-            tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                          jnp.minimum(ty0, ty1)),
-                              jnp.maximum(jnp.minimum(tz0, tz1), t_min))
-            thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                          jnp.maximum(ty0, ty1)),
-                              jnp.maximum(tz0, tz1))
-            # Running-best gate: a cluster whose slab ENTRY is behind the
-            # closest hit already found (by earlier, importance-ordered
-            # clusters) cannot produce the winner — skip it per lane. The
-            # tile-coherent analogue of ordered BVH traversal. tlo is
-            # scaled down a few ulps so slab-chain rounding can never skip
-            # a cluster whose true hit ties the running best within float
-            # noise (tlo >= t_min > 0, so the scale is direction-safe).
-            amask = ((tlo <= thi)
-                     & (tlo * (1.0 - 2.4e-7)
-                        < sf_ref[R_BEST:R_BEST + 1, :]) & active)
+            if cfg.cull:
+                tx0 = (clus_ref[c, K_MINX] - ox) * idx_
+                tx1 = (clus_ref[c, K_MAXX] - ox) * idx_
+                ty0 = (clus_ref[c, K_MINY] - oy) * idy_
+                ty1 = (clus_ref[c, K_MAXY] - oy) * idy_
+                tz0 = (clus_ref[c, K_MINZ] - oz) * idz_
+                tz1 = (clus_ref[c, K_MAXZ] - oz) * idz_
+                tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                              jnp.minimum(ty0, ty1)),
+                                  jnp.maximum(jnp.minimum(tz0, tz1), t_min))
+                thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                              jnp.maximum(ty0, ty1)),
+                                  jnp.maximum(tz0, tz1))
+                # Running-best gate: a cluster whose slab ENTRY is behind
+                # the closest hit already found (by earlier, importance-
+                # ordered clusters) cannot produce the winner — skip it per
+                # lane. The tile-coherent analogue of ordered BVH
+                # traversal. tlo is scaled down a few ulps so slab-chain
+                # rounding can never skip a cluster whose true hit ties the
+                # running best within float noise (tlo >= t_min > 0, so the
+                # scale is direction-safe).
+                amask = ((tlo <= thi)
+                         & (tlo * (1.0 - 2.4e-7)
+                            < sf_ref[R_BEST:R_BEST + 1, :]) & active)
             # Static clusters skip the 6 motion FMAs (build_tables flag).
             c_mov = cfg.moving and cfg.clus_moving[c]
             lo = c * SB
             for ch in range(NCH):
                 sl = slice(ch * W, (ch + 1) * W)
-                vote = jnp.any(amask[:, sl] if NCH > 1 else amask)
 
-                @pl.when(vote)
-                def _(lo=lo, sl=sl, c_mov=c_mov):
+                def blk(lo=lo, sl=sl, c_mov=c_mov):
+                    # Chunked mode (NCH > 1) re-loads the ray-state slices
+                    # straight from the ref: slicing the full-width register
+                    # vectors instead keeps a nonzero lane-offset layout
+                    # that Mosaic cannot sublane-broadcast against the
+                    # (SB, 1) sphere columns ("Invalid input layout" on
+                    # vector.broadcast 1xW -> SBxW at lane offset >= 128).
+                    # Ref loads at W-aligned offsets come back tile-aligned.
+                    if NCH > 1:
+                        ox_s = sf_ref[R_OX:R_OX + 1, sl]
+                        oy_s = sf_ref[R_OY:R_OY + 1, sl]
+                        oz_s = sf_ref[R_OZ:R_OZ + 1, sl]
+                        dx_s = sf_ref[R_DX:R_DX + 1, sl]
+                        dy_s = sf_ref[R_DY:R_DY + 1, sl]
+                        dz_s = sf_ref[R_DZ:R_DZ + 1, sl]
+                        tm_s = sf_ref[R_TIME:R_TIME + 1, sl]
+                    else:
+                        ox_s, oy_s, oz_s = ox, oy, oz
+                        dx_s, dy_s, dz_s = dx, dy, dz
+                        tm_s = time
                     cx = sph_ref[lo:lo + SB, C_CX:C_CX + 1]
                     cy = sph_ref[lo:lo + SB, C_CY:C_CY + 1]
                     cz = sph_ref[lo:lo + SB, C_CZ:C_CZ + 1]
                     if c_mov:
                         if cfg.uniform_time:
-                            frac = fracu[:, sl]
+                            # 2 extra VPU ops per chunk beat re-slicing the
+                            # precomputed fracu row (layout hazard above).
+                            frac = (tm_s - cfg.ut_t0) * cfg.ut_idt
                         else:
-                            frac = ((time[:, sl]
+                            frac = ((tm_s
                                      - sph_ref[lo:lo + SB, C_T0:C_T0 + 1])
                                     * sph_ref[lo:lo + SB, C_IDT:C_IDT + 1])
                         cx = cx + frac * sph_ref[lo:lo + SB, C_DCX:C_DCX + 1]
                         cy = cy + frac * sph_ref[lo:lo + SB, C_DCY:C_DCY + 1]
                         cz = cz + frac * sph_ref[lo:lo + SB, C_DCZ:C_DCZ + 1]
-                    ocx = ox[:, sl] - cx
-                    ocy = oy[:, sl] - cy
-                    ocz = oz[:, sl] - cz
-                    b = ocx * dx[:, sl] + ocy * dy[:, sl] + ocz * dz[:, sl]
+                    ocx = ox_s - cx
+                    ocy = oy_s - cy
+                    ocz = oz_s - cz
+                    b = ocx * dx_s + ocy * dy_s + ocz * dz_s
                     # r2 lane is -1 on inactive rows (build_tables), making
                     # disc < 0 there — the active mask costs zero ops.
                     cc = (ocx * ocx + ocy * ocy + ocz * ocz
@@ -479,8 +499,11 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                         # keeps exact ties, mirroring the reference's
                         # strict `t < closest` list sweep.
                         upd = blk_min < old_best
+                        # int iota + cast: Mosaic's tpu.iota verifier
+                        # rejects float results on-chip (f32 iota compiles
+                        # in interpret mode only).
                         sub = jax.lax.broadcasted_iota(
-                            jnp.float32, (SB, W), 0)
+                            jnp.int32, (SB, W), 0).astype(jnp.float32)
                         cand = jnp.min(
                             jnp.where(tcv == blk_min, sub, float(cfg.S)),
                             axis=0, keepdims=True) + float(lo)
@@ -492,6 +515,17 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                                                                 blk_min)
                     sf_ref[R_BLK:R_BLK + 1, sl] = (
                         sf_ref[R_BLK:R_BLK + 1, sl] + 1.0)
+
+                if not cfg.cull:
+                    # Vote-free mode: every block runs unconditionally —
+                    # on-chip sweeps measured the pl.when vote costing more
+                    # than the skipped quadratic work saves on the book-1
+                    # scene (144 dense vs 86-136 M seg/s culled); blocking
+                    # still bounds the (SB, W) register intermediates.
+                    blk()
+                    continue
+                vote = jnp.any(amask[:, sl] if NCH > 1 else amask)
+                pl.when(vote)(blk)
 
                 if not cfg.idx_extract:
                     @pl.when(jnp.logical_not(vote))
@@ -689,21 +723,46 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
 
         if cfg.has_spheres:
             # ---- one-hot MXU attribute extraction ----
-            if cfg.idx_extract:
-                # winner one-hot from the slot-index row; miss lanes carry
-                # the out-of-range sentinel S, so the one-hot (and thus
-                # every extracted attribute) is all-zero there
-                iota_s = jax.lax.broadcasted_iota(jnp.float32,
-                                                  (cfg.S, T), 0)
-                maskf = (iota_s
-                         == sf_ref[R_BIDX:R_BIDX + 1, :]).astype(
-                             jnp.float32)
+            if cfg.idx_extract and cfg.eb < cfg.S:
+                # Blocked extraction: the one-shot (S, T) one-hot
+                # intermediate costs S*T*4 bytes of VMEM (29 MB at
+                # S=3.6k, T=2048 — the backend refuses to compile);
+                # accumulating (A_ROWS, EB) x (EB, T) partial dots bounds
+                # it at EB*T*4. At most one block matches the winner slot
+                # (miss lanes carry the sentinel S and match none), so the
+                # sum is the exact f32 attribute row either way. EB is a
+                # 128-multiple divisor of S: every attr_ref lane slice is
+                # a full-tile slice (see tools/mosaic_repros for why
+                # partial-tile dot operands are off-limits).
+                bidx = sf_ref[R_BIDX:R_BIDX + 1, :]
+                attrs = None
+                for e in range(cfg.S // cfg.eb):
+                    lo_e = e * cfg.eb
+                    iota_e = jax.lax.broadcasted_iota(
+                        jnp.int32, (cfg.eb, T), 0).astype(jnp.float32)
+                    m_e = (iota_e == bidx - float(lo_e)).astype(jnp.float32)
+                    part = jax.lax.dot_general(
+                        attr_ref[:, lo_e:lo_e + cfg.eb], m_e,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    attrs = part if attrs is None else attrs + part
             else:
-                maskf = ((tc_ref[...] == s_best)
-                         & (s_best < _HIT_CUT)).astype(jnp.float32)
-            attrs = jax.lax.dot_general(
-                attr_ref[...], maskf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (A_ROWS, T)
+                if cfg.idx_extract:
+                    # winner one-hot from the slot-index row; miss lanes
+                    # carry the out-of-range sentinel S, so the one-hot
+                    # (and thus every extracted attribute) is all-zero
+                    # there
+                    iota_s = jax.lax.broadcasted_iota(
+                        jnp.int32, (cfg.S, T), 0).astype(jnp.float32)
+                    maskf = (iota_s
+                             == sf_ref[R_BIDX:R_BIDX + 1, :]).astype(
+                                 jnp.float32)
+                else:
+                    maskf = ((tc_ref[...] == s_best)
+                             & (s_best < _HIT_CUT)).astype(jnp.float32)
+                attrs = jax.lax.dot_general(
+                    attr_ref[...], maskf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (A_ROWS, T)
 
             def at(r):
                 return attrs[r:r + 1, :]
@@ -1642,7 +1701,8 @@ def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
 def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
               max_depth: int = 50, rr_depth: int | None = 4,
               T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
-              chunks: int = 1, idx_extract: bool = False):
+              chunks: int = 1, idx_extract: bool = False,
+              cull: bool | None = None, extract_block: int | None = None):
     """Host-side launch plan: packed tables + static kernel cfg for
     _mega_call at this geometry. Shared by trace_mega and the sharded
     multi-chip entry (parallel.mesh.render_sharded_mega, which passes the
@@ -1661,18 +1721,47 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
     # idx_extract mode has NO (S, T) scratch: the tile width survives big
     # sphere tables untouched.
     S_padded = meta["S"]
+    # idx_extract mode: pick the extraction block EB. The single-dot
+    # one-hot costs an (S, T) VMEM intermediate; when that exceeds the
+    # budget, block it at the largest 128-multiple divisor of S (so every
+    # attr-table lane slice stays full-tile — partial-tile dot operands
+    # are a measured miscompile, tools/mosaic_repros). If no aligned
+    # divisor exists, clamp T like the scratch path below.
+    eb = S_padded
+    if idx_extract:
+        if extract_block is not None:
+            assert (S_padded % extract_block == 0
+                    and extract_block % 128 == 0), (S_padded, extract_block)
+            eb = extract_block
+        elif S_padded * T * 4 > (8 << 20):
+            eb = 0
+            for cand in (512, 384, 256, 128):
+                if S_padded % cand == 0:
+                    eb = cand
+                    break
+            if not eb:
+                eb = S_padded
+                while T > 512 and S_padded * T * 4 > (8 << 20):
+                    T //= 2
     while (not idx_extract) and T > 512 and S_padded * T * 4 > (8 << 20):
         T //= 2
     T = max((T // 128) * 128, 512)  # lane slices must be 128-aligned
     if T % k:
         k = 1
+    if cull is None:
+        # Auto: votes lose when nearly every block survives anyway (the
+        # book-1 scene measured 144 M seg/s dense vs 86-136 M culled);
+        # multi-cluster scenes keep the running-best slab gate.
+        cull = meta["C"] > 1
+    if not cull:
+        chunks = 1  # chunks only subdivide votes
     # every vote chunk must be a whole number of 128-lane registers
     chunks = max(1, min(chunks, T // 128))
     while chunks > 1 and (T % chunks or (T // chunks) % 128):
         chunks -= 1
     cfg = _Cfg(T=T, SB=meta["SB"], C=meta["C"], S=meta["S"], nx=nx, ny=ny,
                spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,
-               chunks=chunks, idx_extract=idx_extract,
+               chunks=chunks, idx_extract=idx_extract, cull=cull, eb=eb,
                clus_moving=meta["clus_moving"],
                uniform_time=meta["uniform_time"], ut_t0=meta["ut_t0"],
                ut_idt=meta["ut_idt"],
@@ -1700,6 +1789,7 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                max_depth: int = 50, rr_depth: int | None = 4,
                T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
                chunks: int = 1, idx_extract: bool = False,
+               cull: bool | None = None, extract_block: int | None = None,
                interpret: bool = False,
                return_stats: bool = False):
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
@@ -1718,7 +1808,8 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     tabs, cfg, T, k = make_plan(scene, nx, ny, spp, max_depth=max_depth,
                                 rr_depth=rr_depth, T=T, SB=SB,
                                 slots_per_pixel=slots_per_pixel,
-                                chunks=chunks, idx_extract=idx_extract)
+                                chunks=chunks, idx_extract=idx_extract,
+                                cull=cull, extract_block=extract_block)
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, cam_vec,
      meta) = tabs
     pixf, inv = _pixel_layout(nx, ny, T, k)

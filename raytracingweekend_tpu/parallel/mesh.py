@@ -96,6 +96,8 @@ def render_sharded_mega(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
                         spp: int, max_depth: int = 50, T: int = 2048,
                         SB: int = 512, chunks: int = 1,
                         idx_extract: bool = False,
+                        cull: bool | None = None,
+                        extract_block: int | None = None,
                         interpret: bool | None = None):
     """The fused Pallas megakernel across a (dp, sp) device mesh: image
     row-tiles shard over "dp", samples over "sp", one psum over "sp" of
@@ -124,7 +126,8 @@ def render_sharded_mega(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
     # absolute rows inside shard_map via the device's "dp" index.
     tabs, cfg, T, _k = mk.make_plan(scene, nx, ny, spp_shard,
                                     max_depth=max_depth, T=T, SB=SB,
-                                    chunks=chunks, idx_extract=idx_extract)
+                                    chunks=chunks, idx_extract=idx_extract,
+                                    cull=cull, extract_block=extract_block)
     tables = tabs[:-1]
     pixf, inv = mk._pixel_layout(nx, rows, T)
     n_tiles = pixf.shape[0]

@@ -284,3 +284,34 @@ def test_cluster_tables_cover_motion():
     covered = ((lo[:, None, :] >= mins[None] - 1e-5)
                & (hi[:, None, :] <= maxs[None] + 1e-5)).all(-1).any(-1)
     assert covered.all()
+
+
+def test_vote_free_blocking_is_bitwise_exact():
+    """cull=False runs every (cluster) block unconditionally: the per-block
+    min-folds happen in the identical order, so the result must be bitwise
+    identical to the voted path (votes only SKIP provably-losing work)."""
+    for name, sb in (("random_balls", 64), ("dielectric", 32)):
+        scene = make_scene(name, 1.0)
+        a, _ = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=12, T=256,
+                             SB=sb, cull=True, interpret=True)
+        b, _ = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=12, T=256,
+                             SB=sb, cull=False, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_blocked_extraction_is_bitwise_exact():
+    """Blocked idx-mode attribute extraction (cfg.eb < S: accumulated
+    (A_ROWS, EB) x (EB, T) partial dots) must be bitwise identical to the
+    single (A_ROWS, S) x (S, T) dot: at most one block matches the winner
+    slot, every partial product is an exact f32 table value times 1.0 or
+    0.0, and adding zero partials is exact."""
+    scene = make_scene("random_balls_large", 1.0, n=16)  # 260 spheres
+    # SB=128 pads S to 384, so eb=128 gives three aligned blocks.
+    a, sa = mk.trace_mega(KEY, scene, 16, 16, 2, max_depth=8, T=256,
+                          SB=128, idx_extract=True, interpret=True)
+    b, sb_ = mk.trace_mega(KEY, scene, 16, 16, 2, max_depth=8, T=256,
+                           SB=128, idx_extract=True, extract_block=128,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(sa) == float(sb_)

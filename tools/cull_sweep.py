@@ -2,10 +2,13 @@
 (real TPU).
 
     python tools/cull_sweep.py --scene random_balls --nx 1200 --ny 800 \
-        --spp 64 --configs 512:1 64:8 64:8:1 32:8:1:4096
+        --spp 64 --configs 512:1 64:8 64:8:1 32:8:1:4096 512:1:1:2048:0 \
+        512:1:1:2048:1:512
 
-Config spec is SB:chunks[:idx[:T]] — idx=1 switches on index-based winner
-extraction (no (S,T) scratch), T overrides the tile width for that config.
+Config spec is SB:chunks[:idx[:T[:cull[:eb]]]] — idx=1 switches on
+index-based winner extraction (no (S,T) scratch), T overrides the tile
+width, cull=0/1 forces vote-free/voted blocking (empty = auto), eb forces
+the idx extraction block size (128-multiple divisor of S).
 One process = one TPU job (tunnel discipline) and the runtime init is paid
 once; each config still compiles its own kernel (server-side, cached in
 .jax_cache). Reports M segments/s, lane utilization, and cull-survival rate
@@ -50,11 +53,16 @@ def main():
         SB, chunks = int(parts[0]), int(parts[1])
         idx = bool(int(parts[2])) if len(parts) > 2 else False
         T_cfg = int(parts[3]) if len(parts) > 3 else args.T
+        cull = (bool(int(parts[4])) if len(parts) > 4
+                and parts[4] != "" else None)
+        eb = (int(parts[5]) if len(parts) > 5 and parts[5] != ""
+              else None)
 
         def launch(k):
             return mk.trace_mega(k, scene, args.nx, args.ny, args.spp,
                                  max_depth=args.max_depth, T=T_cfg,
                                  SB=SB, chunks=chunks, idx_extract=idx,
+                                 cull=cull, extract_block=eb,
                                  return_stats=True)
 
         t_c = time.perf_counter()
@@ -78,10 +86,12 @@ def main():
         _, cfg, T_eff, _ = mk.make_plan(scene, args.nx, args.ny, args.spp,
                                         max_depth=args.max_depth, T=T_cfg,
                                         SB=SB, chunks=chunks,
-                                        idx_extract=idx)
+                                        idx_extract=idx, cull=cull,
+                                        extract_block=eb)
         C = cfg.C
         surv = blocks / max(iters * C, 1.0)
         print(f"SB={SB:<4d} chunks={chunks:<3d} idx={int(idx)} "
+              f"cull={int(cfg.cull)} eb={cfg.eb:<4d} "
               f"T={T_eff:<5d} "
               f"{total / dt / 1e6:8.1f} M seg/s  "
               f"util={total / max(iters, 1.0):.3f} "

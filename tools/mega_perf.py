@@ -30,6 +30,10 @@ def main():
                     help="lane-chunks per tile for cluster-skip votes")
     ap.add_argument("--idx", action="store_true",
                     help="index-based winner extraction (no (S,T) scratch)")
+    ap.add_argument("--cull", type=int, default=-1,
+                    help="1/0 force voted/vote-free blocking (-1 = auto)")
+    ap.add_argument("--eb", type=int, default=0,
+                    help="idx extraction block size (0 = auto)")
     ap.add_argument("--stats", action="store_true",
                     help="also report utilization and cull-survival rate")
     args = ap.parse_args()
@@ -47,6 +51,8 @@ def main():
         return mk.trace_mega(k, scene, args.nx, args.ny, args.spp,
                              max_depth=args.max_depth, T=args.T, SB=args.SB,
                              chunks=args.chunks, idx_extract=args.idx,
+                             cull=None if args.cull < 0 else bool(args.cull),
+                             extract_block=args.eb or None,
                              return_stats=True)
 
     key = jax.random.key(0)
@@ -70,7 +76,10 @@ def main():
         _, cfg, _, _ = mk.make_plan(scene, args.nx, args.ny, args.spp,
                                     max_depth=args.max_depth, T=args.T,
                                     SB=args.SB, chunks=args.chunks,
-                                    idx_extract=args.idx)
+                                    idx_extract=args.idx,
+                                    cull=(None if args.cull < 0
+                                          else bool(args.cull)),
+                                    extract_block=args.eb or None)
         C = cfg.C
         surv = blocks / max(iters * C, 1.0)
         extra = (f" util={total / max(iters, 1.0):.3f}"
