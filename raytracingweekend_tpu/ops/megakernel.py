@@ -1700,7 +1700,8 @@ def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
 
 def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
               max_depth: int = 50, rr_depth: int | None = 4,
-              T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
+              T: int = 2048, SB: int | None = None,
+              slots_per_pixel: int = 1,
               chunks: int = 1, idx_extract: bool = False,
               cull: bool | None = None, extract_block: int | None = None):
     """Host-side launch plan: packed tables + static kernel cfg for
@@ -1713,6 +1714,13 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
     # Tiny sphere tables (e.g. the one glass ball in cornell_box) shrink to
     # one 8-sublane cluster rather than paying an SB-row quadratic.
     n_live = int(np.sum(np.asarray(scene.spheres.active)))
+    if SB is None:
+        # Measured optima (docs/PERF.md): book-1-class tables want ONE
+        # dense vote-free cluster (163.8 M seg/s vs 101-136 for any voted
+        # split); tables past one cluster want SB=256 Morton clusters
+        # (34.1 M at 3.6k spheres vs 32.5 at SB=512, 23.9 at SB=64 —
+        # survival x vote-overhead tradeoff peaks near C~15).
+        SB = 512 if n_live <= 512 else 256
     SB = min(SB, max(8, -(-n_live // 8) * 8))
     tabs = build_tables_cached(scene, SB)
     meta = tabs[-1]
@@ -1787,7 +1795,8 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
 
 def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                max_depth: int = 50, rr_depth: int | None = 4,
-               T: int = 2048, SB: int = 512, slots_per_pixel: int = 1,
+               T: int = 2048, SB: int | None = None,
+               slots_per_pixel: int = 1,
                chunks: int = 1, idx_extract: bool = False,
                cull: bool | None = None, extract_block: int | None = None,
                interpret: bool = False,
@@ -1795,9 +1804,9 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
     segment count). Host-side prep is eager (concrete scene required).
 
-    T = lanes per tile; SB = sphere cluster size (SB == padded table size
-    disables culling — measured fastest for the ~500-sphere book-1 scene,
-    where bounce divergence activates every cluster anyway);
+    T = lanes per tile; SB = sphere cluster size (None = measured auto:
+    one dense vote-free cluster up to 512 live spheres, SB=256 Morton
+    clusters with the running-best slab gate beyond — docs/PERF.md);
     slots_per_pixel = k sample-parallel lanes per pixel, each tracing
     spp/k samples.
 

@@ -94,7 +94,7 @@ def render_sharded(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
 
 def render_sharded_mega(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
                         spp: int, max_depth: int = 50, T: int = 2048,
-                        SB: int = 512, chunks: int = 1,
+                        SB: int | None = None, chunks: int = 1,
                         idx_extract: bool = False,
                         cull: bool | None = None,
                         extract_block: int | None = None,

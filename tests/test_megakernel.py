@@ -315,3 +315,28 @@ def test_blocked_extraction_is_bitwise_exact():
                            interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(sa) == float(sb_)
+
+
+def test_make_plan_auto_heuristics():
+    """Pin the measured-on-chip launch-plan defaults (docs/PERF.md):
+    single-cluster scenes run vote-free (the slab test + pl.when vote
+    measurably cost more than they save: 163.8 dense vs 144.1 voted
+    M seg/s on random_balls); multi-cluster scenes keep the running-best
+    gate; idx mode blocks its extraction when the (S, T) one-hot would
+    exceed the VMEM budget."""
+    rb = make_scene("random_balls", 1.5)
+    _, cfg, T, _ = mk.make_plan(rb, 1200, 800, 64)
+    assert cfg.C == 1 and cfg.cull is False and T == 2048
+
+    big = make_scene("random_balls_large", 1.5)
+    # default (scratch) mode: auto SB=256 Morton clusters; T clamps so
+    # the (S, T) scratch fits VMEM
+    _, cfg, T, _ = mk.make_plan(big, 1200, 800, 16)
+    assert cfg.SB == 256 and cfg.C > 1 and cfg.cull is True and T == 512
+
+    # idx mode: full tile width survives; extraction is blocked at a
+    # 128-multiple divisor of S
+    _, cfg, T, _ = mk.make_plan(big, 1200, 800, 16, idx_extract=True,
+                                SB=512)
+    assert T == 2048 and cfg.eb < cfg.S
+    assert cfg.S % cfg.eb == 0 and cfg.eb % 128 == 0
