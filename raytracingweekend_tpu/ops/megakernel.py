@@ -16,9 +16,10 @@ rebuild of the reference's hot loop — the recursive color() at
 RayTracingWeekend.cpp:45-160 over hittable_list.h:11-37 — covering sphere
 scenes (random_balls / dielectric), rect/light scenes with one-sample
 MIS (cornell_box and variants), checker + Perlin-noise textures (all three
-display modes), and constant media (cornell_smoke). Image textures, BVH
-scenes, and debug render modes keep the wavefront path (see
-supports_scene).
+display modes), image textures on spheres (gather-free one-hot texel
+fetch over a VMEM-resident hi/lo-bf16 atlas), and constant media
+(cornell_smoke). Image textures on rects/media, BVH scenes, and debug
+render modes keep the wavefront path (see supports_scene).
 
 Design notes:
 - Rays live as (1, T) lane rows (T = tile width). Sphere intersection is
@@ -57,10 +58,17 @@ _HIT_CUT = 1.0e30  # best_t above this == miss
 # 1.0 on checker-textured primitives, EVEN/ODD their baked child colors.
 # A_NOISE encodes the noise display mode as 1 + NOISE_* (0 = not noise):
 # small ints survive the one-hot f32 extraction dot exactly.
+# A_IMG is 1 + atlas id on image-textured spheres (texture.h:73-98 via the
+# native decoder the reference never wrote): the kernel fetches the texel
+# with a separable one-hot (column dot + row mask-reduce) over the resident
+# hi/lo-bf16 image planes. A_MPARAM carries metal fuzz OR dielectric IOR —
+# a primitive is at most one material, so the lanes never collide — which
+# keeps the table at the measured-fast 24-row shape (A_ROWS=32 reproducibly
+# costs ~10% on book-1; Mosaic picks a slower extraction-dot schedule).
 (A_CX, A_CY, A_CZ, A_DCX, A_DCY, A_DCZ, A_T0, A_IDT, A_RINV, A_MTYPE,
- A_ALBX, A_ALBY, A_ALBZ, A_FUZZ, A_RIDX, A_NSCALE,
+ A_ALBX, A_ALBY, A_ALBZ, A_MPARAM, A_NSCALE,
  A_CHK, A_EVENX, A_EVENY, A_EVENZ, A_ODDX, A_ODDY, A_ODDZ,
- A_NOISE) = range(24)
+ A_NOISE, A_IMG) = range(24)
 A_ROWS = 24
 
 # ---- intersect-table lanes: (S, 128), sphere-major (pallas_intersect) ----
@@ -279,9 +287,42 @@ def _onb(wx, wy, wz):
     return ux, uy, uz, vx, vy, vz
 
 
+_PI = 3.14159265358979
+# atan(a) ~ a * P(a*a) on [0, 1] (degree-6 Chebyshev-node LSQ fit, max abs
+# err 5.8e-7 — u-coordinate error ~1e-7, far below one texel at any
+# practical image width). Mosaic has no atan/atan2/asin lowering
+# (NotImplementedError on-chip), so sphere UV is polynomial here.
+_ATAN_C = (0.9999997, -0.33327976, 0.19895026, -0.13537675,
+           0.0847597, -0.03775171, 0.008097295)
+
+
+def _atan2(y, x):
+    """Octant-reduced polynomial atan2 matching jnp.arctan2 conventions
+    (range (-pi, pi]; atan2(0, 0) = 0) to ~6e-7 abs."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    a = lo / jnp.maximum(hi, 1e-30)          # [0, 1]; (0,0) -> 0
+    s = a * a
+    p = jnp.float32(_ATAN_C[-1])
+    for c in _ATAN_C[-2::-1]:
+        p = p * s + c
+    r = a * p
+    r = jnp.where(ay > ax, 0.5 * _PI - r, r)
+    r = jnp.where(x < 0.0, _PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _asin(y):
+    """asin(y) = atan2(y, sqrt(1 - y^2)), y pre-clipped to [-1, 1]."""
+    y = jnp.clip(y, -1.0, 1.0)
+    return _atan2(y, jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0)))
+
+
 def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
-            light_ref, med_ref, nperm_ref, nrvh_ref, nrvl_ref, seed_ref,
-            out_ref, *scratch, cfg):
+            light_ref, med_ref, nperm_ref, nrvh_ref, nrvl_ref, img_ref,
+            seed_ref, out_ref, *scratch, cfg):
     """One tile: T per-pixel slots, each tracing cfg.spp full paths."""
     if cfg.idx_extract:
         (sf_ref,) = scratch
@@ -784,8 +825,11 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             albx = at(A_ALBX)
             alby = at(A_ALBY)
             albz = at(A_ALBZ)
-            fuzz_v = at(A_FUZZ) if cfg.has_metal else None
-            ridx_v = at(A_RIDX) if cfg.has_dielectric else None
+            # A_MPARAM is fuzz on metal rows, IOR on dielectric rows: the
+            # off-material value is garbage but every use is masked by the
+            # material select below.
+            fuzz_v = at(A_MPARAM) if cfg.has_metal else None
+            ridx_v = at(A_MPARAM) if cfg.has_dielectric else None
             if cfg.has_noise:
                 nf_v = at(A_NOISE)
                 nsc_v = at(A_NSCALE)
@@ -793,6 +837,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 chk_v = at(A_CHK)
                 evx_v, evy_v, evz_v = at(A_EVENX), at(A_EVENY), at(A_EVENZ)
                 odx_v, ody_v, odz_v = at(A_ODDX), at(A_ODDY), at(A_ODDZ)
+            if cfg.has_image:
+                img_v = at(A_IMG)
             if cfg.R:
                 nx_ = jnp.where(use_rect, r_nxa, nx_)
                 ny_ = jnp.where(use_rect, r_nya, ny_)
@@ -816,6 +862,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     odx_v = jnp.where(use_rect, r_odx, odx_v)
                     ody_v = jnp.where(use_rect, r_ody, ody_v)
                     odz_v = jnp.where(use_rect, r_odz, odz_v)
+                if cfg.has_image:
+                    img_v = jnp.where(use_rect, 0.0, img_v)
         else:
             nx_, ny_, nz_ = r_nxa, r_nya, r_nza
             mtype = r_mt
@@ -844,6 +892,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 nsc_v = jnp.where(use_med, m_nsc, nsc_v)
             if cfg.has_checker:
                 chk_v = jnp.where(use_med, 0.0, chk_v)
+            if cfg.has_image:
+                img_v = jnp.where(use_med, 0.0, img_v)
 
         if cfg.has_noise:
             # noise-texture albedo (texture.h:55-69): gray Perlin value on
@@ -891,6 +941,58 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                              jnp.where(is_chk, evy_v, alby))
             albz = jnp.where(use_odd, odz_v,
                              jnp.where(is_chk, evz_v, albz))
+
+        if cfg.has_image:
+            # ---- image-texture albedo (texture.h:73-98 nearest-texel
+            # lookup; sphere UV per sphere.h:115-122 from the unit normal,
+            # already in nx_/ny_/nz_ for sphere-winner lanes — rect/media
+            # lanes carry img_v == 0 so their garbage UV is masked out).
+            # The texel fetch is gather-free: a (Hp, Wp) @ (Wp, T) bf16
+            # column one-hot dot on the MXU picks column i per lane, then a
+            # (Hp, T) one-hot mask-reduce on the VPU picks row j; hi+lo
+            # bf16 planes reconstruct the f32 texel to ~2^-16 (the same
+            # split as the Perlin gradient tables above).
+            phi = _atan2(nz_, nx_)
+            theta = _asin(ny_)
+            u_img = 1.0 - (phi + _PI) * (0.5 / _PI)
+            v_img = (theta + 0.5 * _PI) * (1.0 / _PI)
+            Hp = cfg.img_hp
+            Wp = cfg.img_wp
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (Wp, T), 0)
+            iota_h = jax.lax.broadcasted_iota(jnp.int32, (Hp, T), 0)
+            dims_i = (((1,), (0,)), ((), ()))
+            texr = texg = texb = jnp.zeros((1, T), jnp.float32)
+            for ii in range(cfg.n_img):
+                ny_i, nx_i = cfg.img_hw[ii]
+                i_t = (u_img * float(nx_i)).astype(jnp.int32)
+                j_t = ((1.0 - v_img) * float(ny_i) - 0.001).astype(jnp.int32)
+                i_t = jnp.clip(i_t, 0, nx_i - 1)
+                j_t = jnp.clip(j_t, 0, ny_i - 1)
+                oh_i = (iota_w == i_t).astype(jnp.bfloat16)     # (Wp, T)
+                oh_j = (iota_h == j_t).astype(jnp.float32)      # (Hp, T)
+                base = ii * 6 * Hp
+                ch_v = []
+                for ch in range(3):
+                    hi_d = jax.lax.dot_general(
+                        img_ref[base + ch * Hp:base + (ch + 1) * Hp, :],
+                        oh_i, dims_i, preferred_element_type=jnp.float32)
+                    lo_d = jax.lax.dot_general(
+                        img_ref[base + (3 + ch) * Hp:
+                                base + (4 + ch) * Hp, :],
+                        oh_i, dims_i, preferred_element_type=jnp.float32)
+                    ch_v.append(jnp.sum((hi_d + lo_d) * oh_j, axis=0,
+                                        keepdims=True))
+                if cfg.n_img == 1:
+                    texr, texg, texb = ch_v
+                else:
+                    sel = img_v == float(1 + ii)
+                    texr = jnp.where(sel, ch_v[0], texr)
+                    texg = jnp.where(sel, ch_v[1], texg)
+                    texb = jnp.where(sel, ch_v[2], texb)
+            use_img = img_v > 0.5
+            albx = jnp.where(use_img, texr, albx)
+            alby = jnp.where(use_img, texg, alby)
+            albz = jnp.where(use_img, texb, albz)
 
         u = _uniforms(8, T, seed, tile, it, salt=2)
 
@@ -1259,17 +1361,42 @@ class _Cfg:
 def supports_scene(scene: st.Scene) -> bool:
     """True when the megakernel covers this scene: sphere/rect geometry,
     constant + checker + Perlin-noise textures (all three display modes,
-    on spheres, rects, and isotropic media), constant media, any
-    background, lights + one-sample MIS (rect and sphere lights). Out of
-    scope: image textures, BVH-routed scenes, normal-debug rendering,
-    non-MIS diffuse strategies."""
-    return (scene.bvh is None  # BVH scenes route through closest_hit
-            and not scene.has_image_tex
-            and not scene.needs_legacy_textures
-            and scene.render_type == st.RENDER_SHADED
-            and scene.lambertian_strategy == "mis"
-            and int(np.sum(np.asarray(scene.spheres.active))
-                    + np.sum(np.asarray(scene.rects.active))) > 0)
+    on spheres, rects, and isotropic media), image textures on spheres
+    (VMEM-resident atlas up to 8 MB), constant media, any background,
+    lights + one-sample MIS (rect and sphere lights). Out of scope:
+    image textures on rects/media, BVH-routed scenes, normal-debug
+    rendering, non-MIS diffuse strategies."""
+    if (scene.bvh is not None  # BVH scenes route through closest_hit
+            or scene.needs_legacy_textures
+            or scene.render_type != st.RENDER_SHADED
+            or scene.lambertian_strategy != "mis"
+            or int(np.sum(np.asarray(scene.spheres.active))
+                   + np.sum(np.asarray(scene.rects.active))) == 0):
+        return False
+    if scene.has_image_tex:
+        tex = scene.textures
+        if tex.images is None:
+            return False
+        tt = np.asarray(tex.ttype)
+        mat_tex = np.asarray(scene.materials.tex)
+        # image textures are fetched through the sphere attribute rows
+        # only: a rect or medium wearing one keeps the wavefront path
+        rl = np.asarray(scene.rects.active).astype(bool)
+        if rl.any() and np.any(
+                tt[mat_tex[np.asarray(scene.rects.mat)[rl]]]
+                == st.TEX_IMAGE):
+            return False
+        vl = np.asarray(scene.media.active).astype(bool)
+        if vl.any() and np.any(
+                tt[mat_tex[np.asarray(scene.media.mat)[vl]]]
+                == st.TEX_IMAGE):
+            return False
+        n_i, h_i, w_i, _ = tex.images.shape
+        hp = max(16, -(-h_i // 16) * 16)
+        wp = max(128, -(-w_i // 128) * 128)
+        if n_i * 6 * hp * wp * 2 > (8 << 20):
+            return False
+    return True
 
 
 def _morton_order(centers: np.ndarray) -> np.ndarray:
@@ -1415,6 +1542,14 @@ def build_tables(scene: st.Scene, SB: int = 64):
     nscale = np.asarray(tex.scale, np.float32)[ti]
     noise_modes = ({int(m) for m in nmode_np[ti][is_noi & actm]}
                    if n else set())
+    # image textures on spheres (texture.h:73-98): A_IMG = 1 + atlas id
+    # (small ints are exact through the f32 extraction dot); the atlas
+    # ships as hi/lo-bf16 row planes the kernel holds resident in VMEM
+    is_img = ttype_np[ti] == st.TEX_IMAGE
+    imgf = np.where(is_img, 1.0 + np.asarray(tex.image_id)[ti],
+                    0.0).astype(np.float32)
+    imgf = np.where(actm, imgf, 0.0).astype(np.float32)
+    has_image = bool(np.any(imgf > 0))
 
     attr_tab = np.zeros((A_ROWS, S), np.float32)
     for row, v in ((A_CX, c0p[:, 0]), (A_CY, c0p[:, 1]), (A_CZ, c0p[:, 2]),
@@ -1422,13 +1557,47 @@ def build_tables(scene: st.Scene, SB: int = 64):
                    (A_T0, t0p), (A_IDT, idt), (A_RINV, rinv),
                    (A_MTYPE, mtype.astype(np.float32)),
                    (A_ALBX, alb[:, 0]), (A_ALBY, alb[:, 1]),
-                   (A_ALBZ, alb[:, 2]), (A_FUZZ, fuzz), (A_RIDX, ridx),
+                   (A_ALBZ, alb[:, 2]),
+                   (A_MPARAM, np.where(mtype == st.MAT_METAL, fuzz,
+                                       np.where(mtype == st.MAT_DIELECTRIC,
+                                                ridx, 0.0))
+                    .astype(np.float32)),
                    (A_CHK, chk), (A_NSCALE, nscale), (A_NOISE, noi),
                    (A_EVENX, evc[:, 0]), (A_EVENY, evc[:, 1]),
                    (A_EVENZ, evc[:, 2]),
                    (A_ODDX, odc[:, 0]), (A_ODDY, odc[:, 1]),
-                   (A_ODDZ, odc[:, 2])):
+                   (A_ODDZ, odc[:, 2]), (A_IMG, imgf)):
         attr_tab[row] = v
+
+    # ---- image atlas planes: per image, rows [6*Hp*id + plane*Hp + j]
+    # with plane = (hi_r, hi_g, hi_b, lo_r, lo_g, lo_b); hi = bf16(x),
+    # lo = bf16(x - f32(hi)) reconstructs the f32 texel to ~2^-16 through
+    # two exact one-hot dots. Hp/Wp pad to the bf16 (16, 128) VMEM tile.
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
+    if has_image:
+        imgs = np.asarray(tex.images, np.float32)     # (I, Hm, Wm, 3)
+        hw_np = np.asarray(tex.image_hw)
+        n_img, h_m, w_m, _ = imgs.shape
+        img_hp = max(16, -(-h_m // 16) * 16)
+        img_wp = max(128, -(-w_m // 128) * 128)
+        img_tab = np.zeros((n_img * 6 * img_hp, img_wp), bf16)
+        for ii in range(n_img):
+            for ch in range(3):
+                p = imgs[ii, :, :, ch]
+                hi = p.astype(bf16)
+                lo = (p - hi.astype(np.float32)).astype(bf16)
+                b0 = ii * 6 * img_hp
+                img_tab[b0 + ch * img_hp:
+                        b0 + ch * img_hp + h_m, :w_m] = hi
+                img_tab[b0 + (3 + ch) * img_hp:
+                        b0 + (3 + ch) * img_hp + h_m, :w_m] = lo
+        img_hw = tuple((int(hw_np[ii, 0]), int(hw_np[ii, 1]))
+                       for ii in range(n_img))
+    else:
+        n_img, img_hp, img_wp = 0, 16, 128
+        img_hw = ()
+        img_tab = np.zeros((16, 128), bf16)
 
     # cluster AABBs over the motion-swept spheres; per-cluster static flag
     # (dc == 0 on padding rows) lets the kernel drop the motion FMAs for
@@ -1604,6 +1773,8 @@ def build_tables(scene: st.Scene, SB: int = 64):
                 has_checker=bool(scene.has_checker_tex),
                 has_noise=bool(noise_modes),
                 noise_modes=tuple(sorted(noise_modes)),
+                has_image=has_image, n_img=n_img, img_hw=img_hw,
+                img_hp=img_hp, img_wp=img_wp,
                 has_iso=V > 0,
                 R=R, rect_axes=tuple(rect_axes),
                 rect_rot=tuple(rect_rot), rect_trans=tuple(rect_trans),
@@ -1615,13 +1786,13 @@ def build_tables(scene: st.Scene, SB: int = 64):
     return (jnp.asarray(sph_tab), jnp.asarray(attr_tab),
             jnp.asarray(clus_tab), jnp.asarray(rect_tab),
             jnp.asarray(light_tab), jnp.asarray(med_tab),
-            jnp.asarray(cam_vec), meta)
+            jnp.asarray(img_tab), jnp.asarray(cam_vec), meta)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_tiles", "interpret"))
 def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
-               light_tab, med_tab, nperm_tab, nrvh_tab, nrvl_tab, seed, *,
-               cfg: _Cfg, n_tiles: int, interpret: bool):
+               light_tab, med_tab, nperm_tab, nrvh_tab, nrvl_tab, img_tab,
+               seed, *, cfg: _Cfg, n_tiles: int, interpret: bool):
     T = cfg.T
     S = cfg.S
     kern = functools.partial(_kernel, cfg=cfg)
@@ -1652,6 +1823,9 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((48, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_img * 6 * cfg.img_hp if cfg.has_image
+                          else 16, cfg.img_wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -1667,7 +1841,8 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
         # pltpu.prng_*, so CPU tests can run the full kernel.
         interpret=pltpu.InterpretParams() if interpret else False,
     )(pixf.reshape(n_tiles, 4, T), cam_vec, sph_tab, attr_tab, clus_tab,
-      rect_tab, light_tab, med_tab, nperm_tab, nrvh_tab, nrvl_tab, seed)
+      rect_tab, light_tab, med_tab, nperm_tab, nrvh_tab, nrvl_tab, img_tab,
+      seed)
     return out
 
 
@@ -1782,6 +1957,9 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
                has_checker=meta["has_checker"],
                has_noise=meta["has_noise"],
                noise_modes=meta["noise_modes"],
+               has_image=meta["has_image"], n_img=meta["n_img"],
+               img_hw=meta["img_hw"], img_hp=meta["img_hp"],
+               img_wp=meta["img_wp"],
                has_iso=meta["has_iso"],
                R=meta["R"], rect_axes=meta["rect_axes"],
                rect_rot=meta["rect_rot"], rect_trans=meta["rect_trans"],
@@ -1819,16 +1997,16 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                                 slots_per_pixel=slots_per_pixel,
                                 chunks=chunks, idx_extract=idx_extract,
                                 cull=cull, extract_block=extract_block)
-    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, cam_vec,
-     meta) = tabs
+    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
+     cam_vec, meta) = tabs
     pixf, inv = _pixel_layout(nx, ny, T, k)
     n_tiles = pixf.shape[0]
     seed = jax.random.randint(key, (1, 1), 0, np.int32(2 ** 31 - 1),
                               dtype=jnp.int32)
     out = _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
                      light_tab, med_tab, jnp.asarray(_PERM_B),
-                     jnp.asarray(_RV_HI), jnp.asarray(_RV_LO), seed,
-                     cfg=cfg, n_tiles=n_tiles, interpret=interpret)
+                     jnp.asarray(_RV_HI), jnp.asarray(_RV_LO), img_tab,
+                     seed, cfg=cfg, n_tiles=n_tiles, interpret=interpret)
     Tp = T // k
     sums = (out[:, 0:3, :].transpose(0, 2, 1)
             .reshape(n_tiles, k, Tp, 3).sum(axis=1))        # (n_tiles,Tp,3)

@@ -128,7 +128,8 @@ def render_sharded_mega(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
                                     max_depth=max_depth, T=T, SB=SB,
                                     chunks=chunks, idx_extract=idx_extract,
                                     cull=cull, extract_block=extract_block)
-    tables = tabs[:-1]
+    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
+     cam_vec, _meta) = tabs
     pixf, inv = mk._pixel_layout(nx, rows, T)
     n_tiles = pixf.shape[0]
     inv = jnp.asarray(inv)
@@ -143,10 +144,11 @@ def render_sharded_mega(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
                                   dtype=jnp.int32)
         pixf_dev = pixf_rep.at[:, 1, :].add(
             (di * rows).astype(jnp.float32))
-        out = mk._mega_call(pixf_dev, tables[-1], *tables[:-1],
+        out = mk._mega_call(pixf_dev, cam_vec, sph_tab, attr_tab,
+                            clus_tab, rect_tab, light_tab, med_tab,
                             jnp.asarray(mk._PERM_B),
                             jnp.asarray(mk._RV_HI),
-                            jnp.asarray(mk._RV_LO), seed,
+                            jnp.asarray(mk._RV_LO), img_tab, seed,
                             cfg=cfg, n_tiles=n_tiles, interpret=interpret)
         sums = out[:, 0:3, :].transpose(0, 2, 1).reshape(n_tiles * T, 3)
         dones = out[:, 5, :].reshape(n_tiles * T)

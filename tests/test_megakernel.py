@@ -113,7 +113,7 @@ def test_supports_scene_gates():
     assert mk.supports_scene(make_scene("cornell_smoke", 1.0))
     assert mk.supports_scene(make_scene("two_perlin_spheres", 1.0))
     assert mk.supports_scene(make_scene("light_sample", 1.0))
-    assert not mk.supports_scene(make_scene("earth", 1.0))  # image tex
+    assert mk.supports_scene(make_scene("earth", 1.0))  # image tex on sphere
     assert mk.supports_scene(make_scene("random_balls", 1.0))
 
 
@@ -266,8 +266,8 @@ def test_duplicate_spheres_deduped_first_wins():
 
 def test_cluster_tables_cover_motion():
     scene = make_scene("random_balls", 1.0)
-    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, cam_vec,
-     meta) = mk.build_tables(scene, 64)
+    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
+     cam_vec, meta) = mk.build_tables(scene, 64)
     S, C = meta["S"], meta["C"]
     assert S % 64 == 0 and C == S // 64
     sph = scene.spheres
@@ -340,3 +340,39 @@ def test_make_plan_auto_heuristics():
                                 SB=512)
     assert T == 2048 and cfg.eb < cfg.S
     assert cfg.S % cfg.eb == 0 and cfg.eb % 128 == 0
+
+
+def test_atan2_asin_polynomials_match_numpy():
+    """The Mosaic-safe polynomial atan2/asin (Mosaic has no transcendental
+    atan lowering) must match numpy over all four quadrants and the axes
+    to well under one texel of UV error at any practical image size."""
+    rng = np.random.default_rng(3)
+    y = rng.uniform(-2, 2, (1, 256)).astype(np.float32)
+    x = rng.uniform(-2, 2, (1, 256)).astype(np.float32)
+    # include axis/degenerate cases
+    y[0, :4] = [0.0, 0.0, 1.0, -1.0]
+    x[0, :4] = [1.0, -1.0, 0.0, 0.0]
+    got = np.asarray(mk._atan2(jnp.asarray(y), jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.arctan2(y, x), atol=2e-6)
+    s = rng.uniform(-1, 1, (1, 256)).astype(np.float32)
+    s[0, :2] = [1.0, -1.0]
+    np.testing.assert_allclose(np.asarray(mk._asin(jnp.asarray(s))),
+                               np.arcsin(s), atol=1e-5)
+
+
+def test_mega_earth_image_texture_matches_wavefront():
+    """Image textures on spheres inside the megakernel (gather-free hi/lo
+    bf16 one-hot texel fetch + polynomial sphere UV) vs the wavefront's
+    f32 gather path on the earth scene (texture.h:73-98)."""
+    scene = make_scene("earth", 1.0)
+    assert mk.supports_scene(scene)
+    nx = ny = 32
+    spp = 8
+    img, segs = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=10,
+                              T=128, SB=8, interpret=True)
+    img = np.asarray(img) / spp
+    ref = np.asarray(render_chunk(scene, KEY, nx, ny, spp, 10)) / spp
+    assert float(segs) > nx * ny * spp
+    np.testing.assert_allclose(img.mean(axis=(0, 1)), ref.mean(axis=(0, 1)),
+                               atol=0.03)
+    assert np.abs(_blocks(img) - _blocks(ref)).max() < 0.2
