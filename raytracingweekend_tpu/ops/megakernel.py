@@ -470,8 +470,11 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 amask = ((tlo <= thi)
                          & (tlo * (1.0 - 2.4e-7)
                             < sf_ref[R_BEST:R_BEST + 1, :]) & active)
-            # Static clusters skip the 6 motion FMAs (build_tables flag).
-            c_mov = cfg.moving and cfg.clus_moving[c]
+            # Static clusters/axes skip their motion FMAs: clus_moving is a
+            # per-cluster (x, y, z) any-moving triple, so e.g. book-1's
+            # y-only motion blur pays 2 (SB, T) FMAs per chunk, not 6.
+            c_mov = (cfg.clus_moving[c] if cfg.moving
+                     else (False, False, False))
             lo = c * SB
             for ch in range(NCH):
                 sl = slice(ch * W, (ch + 1) * W)
@@ -499,7 +502,7 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     cx = sph_ref[lo:lo + SB, C_CX:C_CX + 1]
                     cy = sph_ref[lo:lo + SB, C_CY:C_CY + 1]
                     cz = sph_ref[lo:lo + SB, C_CZ:C_CZ + 1]
-                    if c_mov:
+                    if any(c_mov):
                         if cfg.uniform_time:
                             # 2 extra VPU ops per chunk beat re-slicing the
                             # precomputed fracu row (layout hazard above).
@@ -508,9 +511,15 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                             frac = ((tm_s
                                      - sph_ref[lo:lo + SB, C_T0:C_T0 + 1])
                                     * sph_ref[lo:lo + SB, C_IDT:C_IDT + 1])
-                        cx = cx + frac * sph_ref[lo:lo + SB, C_DCX:C_DCX + 1]
-                        cy = cy + frac * sph_ref[lo:lo + SB, C_DCY:C_DCY + 1]
-                        cz = cz + frac * sph_ref[lo:lo + SB, C_DCZ:C_DCZ + 1]
+                        if c_mov[0]:
+                            cx = cx + frac * sph_ref[lo:lo + SB,
+                                                     C_DCX:C_DCX + 1]
+                        if c_mov[1]:
+                            cy = cy + frac * sph_ref[lo:lo + SB,
+                                                     C_DCY:C_DCY + 1]
+                        if c_mov[2]:
+                            cz = cz + frac * sph_ref[lo:lo + SB,
+                                                     C_DCZ:C_DCZ + 1]
                     ocx = ox_s - cx
                     ocy = oy_s - cy
                     ocz = oz_s - cz
@@ -608,7 +617,21 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             r_odx = zz1
             r_ody = zz1
             r_odz = zz1
-            for ri in range(cfg.R):
+            # Transform groups: every rect sharing one baked
+            # (rotate_y, translate) — e.g. the 6 faces of a rotated box —
+            # computes its object-space ray AND the reciprocal direction
+            # components the plane tests need exactly ONCE per bounce
+            # (cfg.rect_tf[ri] is the static group id assigned by
+            # build_tables; params are read from the group's first member).
+            # This turns the per-rect divide into a multiply and drops the
+            # redundant per-face rotations.
+            tf_cache = {}
+
+            def rect_ray(ri):
+                g = cfg.rect_tf[ri]
+                if g in tf_cache:
+                    return tf_cache[g]
+
                 def rl(kk, ri=ri):
                     return rect_ref[ri, kk]
 
@@ -623,27 +646,41 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     rdx = cth * dx - sth * dz
                     rdz = sth * dx + cth * dz
                     rdy = dy
+                    ir = (1.0 / rdx, idy_, 1.0 / rdz)
                 elif cfg.rect_trans[ri]:
                     rox = ox - rl(RT_OFFX)
                     roy = oy - rl(RT_OFFY)
                     roz = oz - rl(RT_OFFZ)
                     rdx, rdy, rdz = dx, dy, dz
+                    ir = (idx_, idy_, idz_)
                 else:
                     rox, roy, roz = ox, oy, oz
                     rdx, rdy, rdz = dx, dy, dz
+                    ir = (idx_, idy_, idz_)
+                out = (rox, roy, roz, rdx, rdy, rdz) + ir
+                tf_cache[g] = out
+                return out
+
+            for ri in range(cfg.R):
+                def rl(kk, ri=ri):
+                    return rect_ref[ri, kk]
+
+                (rox, roy, roz, rdx, rdy, rdz,
+                 irx, iry, irz) = rect_ray(ri)
                 axc = cfg.rect_axes[ri]
                 if axc == 0:        # XY: plane z = k
                     o_a, o_b, o_n = rox, roy, roz
-                    d_a, d_b, d_n = rdx, rdy, rdz
+                    d_a, d_b, id_n = rdx, rdy, irz
                 elif axc == 1:      # XZ: plane y = k
                     o_a, o_b, o_n = rox, roz, roy
-                    d_a, d_b, d_n = rdx, rdz, rdy
+                    d_a, d_b, id_n = rdx, rdz, iry
                 else:               # YZ: plane x = k
                     o_a, o_b, o_n = roy, roz, rox
-                    d_a, d_b, d_n = rdy, rdz, rdx
-                # d_n == 0 gives t = +-inf/nan; all comparisons then fail,
-                # so parallel rays fall through with no explicit guard.
-                t_r = (rl(RT_K) - o_n) / d_n
+                    d_a, d_b, id_n = rdy, rdz, irx
+                # d_n == 0 gives 1/d_n = inf, t = +-inf (or NaN when the
+                # origin sits on the plane); all comparisons then fail, so
+                # parallel rays fall through with no explicit guard.
+                t_r = (rl(RT_K) - o_n) * id_n
                 pa_ = o_a + t_r * d_a
                 pb_ = o_b + t_r * d_b
                 okr = ((t_r > t_min) & (t_r < rb_t)
@@ -726,9 +763,12 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     m_out = -bq + sqq
                     m_bh = dq > 0.0
                 else:  # box boundary: signed-range slab (aabb.h:17-47)
-                    ivx = 1.0 / mdx
-                    ivy = 1.0 / mdy
-                    ivz = 1.0 / mdz
+                    # translate leaves the direction alone and rotate_y
+                    # leaves y alone: reuse the reciprocals already paid
+                    # for the cluster slabs wherever the component is dx/dy/dz
+                    ivx = 1.0 / mdx if cfg.med_rot[vi] else idx_
+                    ivy = idy_
+                    ivz = 1.0 / mdz if cfg.med_rot[vi] else idz_
                     tx0 = (ml(MD_P0X) - mox) * ivx
                     tx1 = (ml(MD_P1X) - mox) * ivx
                     ty0 = (ml(MD_P0Y) - moy) * ivy
@@ -1599,11 +1639,14 @@ def build_tables(scene: st.Scene, SB: int = 64):
         img_hw = ()
         img_tab = np.zeros((16, 128), bf16)
 
-    # cluster AABBs over the motion-swept spheres; per-cluster static flag
-    # (dc == 0 on padding rows) lets the kernel drop the motion FMAs for
-    # clusters with no moving member
-    clus_moving = tuple(bool(np.any(dc[c * SB:(c + 1) * SB] != 0))
-                        for c in range(C))
+    # cluster AABBs over the motion-swept spheres; per-cluster per-AXIS
+    # static flags (dc == 0 on padding rows) let the kernel drop each
+    # motion FMA no member needs — book-1's motion blur is y-only
+    # (Scene/scene.h:126-136), so its quadratic pays 2 FMAs, not 6
+    clus_moving = tuple(
+        tuple(bool(np.any(dc[c * SB:(c + 1) * SB, ax] != 0))
+              for ax in range(3))
+        for c in range(C))
     absr = np.abs(radp)
     los = np.minimum(c0p, c1p) - absr[:, None]
     his = np.maximum(c0p, c1p) + absr[:, None]
@@ -1626,6 +1669,7 @@ def build_tables(scene: st.Scene, SB: int = 64):
     R = int(rlive.size)
     rect_tab = np.zeros((max(R, 1), RECT_LANES), np.float32)
     rect_axes, rect_rot, rect_trans = [], [], []
+    rect_tf, _tf_groups = [], {}
     r_axis = np.asarray(rects.axis)
     r_flip = np.asarray(rects.flip, np.float32)
     r_cos = np.asarray(rects.cos_t, np.float32)
@@ -1639,6 +1683,12 @@ def build_tables(scene: st.Scene, SB: int = 64):
         rot = (ct_ != 1.0) or (st_ != 0.0)
         rect_rot.append(rot)
         rect_trans.append(bool(np.any(r_off[rr] != 0.0)))
+        # static transform-group id: rects with one baked (rotate_y,
+        # translate) — e.g. a box's 6 faces — share the kernel's per-group
+        # object-space ray + reciprocals
+        tf_key = (rot, rect_trans[-1], ct_, st_,
+                  tuple(float(v) for v in r_off[rr]))
+        rect_tf.append(_tf_groups.setdefault(tf_key, len(_tf_groups)))
         fl = float(r_flip[rr])
         # object-space unit normal by axis code, rotated object->world
         # exactly as closest_hit does (geometry.py rect normals)
@@ -1778,6 +1828,7 @@ def build_tables(scene: st.Scene, SB: int = 64):
                 has_iso=V > 0,
                 R=R, rect_axes=tuple(rect_axes),
                 rect_rot=tuple(rect_rot), rect_trans=tuple(rect_trans),
+                rect_tf=tuple(rect_tf),
                 L=L, light_kinds=tuple(light_kinds),
                 light_axes=tuple(light_axes), light_rot=tuple(light_rot),
                 light_trans=tuple(light_trans),
@@ -1963,6 +2014,7 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
                has_iso=meta["has_iso"],
                R=meta["R"], rect_axes=meta["rect_axes"],
                rect_rot=meta["rect_rot"], rect_trans=meta["rect_trans"],
+               rect_tf=meta["rect_tf"],
                L=meta["L"], light_kinds=meta["light_kinds"],
                light_axes=meta["light_axes"], light_rot=meta["light_rot"],
                light_trans=meta["light_trans"],
