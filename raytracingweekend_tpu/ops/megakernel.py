@@ -311,7 +311,9 @@ def _atan2(y, x):
     r = a * p
     r = jnp.where(ay > ax, 0.5 * _PI - r, r)
     r = jnp.where(x < 0.0, _PI - r, r)
-    return jnp.where(y < 0.0, -r, r)
+    # signbit (not < 0) so y == -0.0 lands on the -pi side of the branch
+    # cut exactly like jnp.arctan2
+    return jnp.where(jnp.signbit(y), -r, r)
 
 
 def _asin(y):
@@ -1398,6 +1400,17 @@ class _Cfg:
         return isinstance(other, _Cfg) and self._key == other._key
 
 
+def _atlas_dims(images) -> tuple:
+    """(n_img, Hp, Wp, bytes) of the kernel-resident image atlas: per image
+    6 bf16 planes (hi/lo x rgb) padded to the bf16 (16, 128) VMEM tile.
+    Single source of truth for the supports_scene budget gate and
+    build_tables' packing."""
+    n_img, h_m, w_m, _ = images.shape
+    hp = max(16, -(-h_m // 16) * 16)
+    wp = max(128, -(-w_m // 128) * 128)
+    return n_img, hp, wp, n_img * 6 * hp * wp * 2
+
+
 def supports_scene(scene: st.Scene) -> bool:
     """True when the megakernel covers this scene: sphere/rect geometry,
     constant + checker + Perlin-noise textures (all three display modes,
@@ -1431,10 +1444,7 @@ def supports_scene(scene: st.Scene) -> bool:
                 tt[mat_tex[np.asarray(scene.media.mat)[vl]]]
                 == st.TEX_IMAGE):
             return False
-        n_i, h_i, w_i, _ = tex.images.shape
-        hp = max(16, -(-h_i // 16) * 16)
-        wp = max(128, -(-w_i // 128) * 128)
-        if n_i * 6 * hp * wp * 2 > (8 << 20):
+        if _atlas_dims(tex.images)[3] > (8 << 20):
             return False
     return True
 
@@ -1613,14 +1623,12 @@ def build_tables(scene: st.Scene, SB: int = 64):
     # with plane = (hi_r, hi_g, hi_b, lo_r, lo_g, lo_b); hi = bf16(x),
     # lo = bf16(x - f32(hi)) reconstructs the f32 texel to ~2^-16 through
     # two exact one-hot dots. Hp/Wp pad to the bf16 (16, 128) VMEM tile.
-    import ml_dtypes
-    bf16 = ml_dtypes.bfloat16
+    bf16 = jnp.bfloat16  # the ml_dtypes scalar type; valid as a numpy dtype
     if has_image:
         imgs = np.asarray(tex.images, np.float32)     # (I, Hm, Wm, 3)
         hw_np = np.asarray(tex.image_hw)
-        n_img, h_m, w_m, _ = imgs.shape
-        img_hp = max(16, -(-h_m // 16) * 16)
-        img_wp = max(128, -(-w_m // 128) * 128)
+        n_img, img_hp, img_wp, _ = _atlas_dims(imgs)
+        h_m, w_m = imgs.shape[1], imgs.shape[2]
         img_tab = np.zeros((n_img * 6 * img_hp, img_wp), bf16)
         for ii in range(n_img):
             for ch in range(3):

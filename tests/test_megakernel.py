@@ -349,9 +349,10 @@ def test_atan2_asin_polynomials_match_numpy():
     rng = np.random.default_rng(3)
     y = rng.uniform(-2, 2, (1, 256)).astype(np.float32)
     x = rng.uniform(-2, 2, (1, 256)).astype(np.float32)
-    # include axis/degenerate cases
-    y[0, :4] = [0.0, 0.0, 1.0, -1.0]
-    x[0, :4] = [1.0, -1.0, 0.0, 0.0]
+    # include axis/degenerate cases (incl. -0.0: signbit puts it on the
+    # -pi side of the branch cut exactly like arctan2)
+    y[0, :5] = [0.0, 0.0, 1.0, -1.0, -0.0]
+    x[0, :5] = [1.0, -1.0, 0.0, 0.0, -1.0]
     got = np.asarray(mk._atan2(jnp.asarray(y), jnp.asarray(x)))
     np.testing.assert_allclose(got, np.arctan2(y, x), atol=2e-6)
     s = rng.uniform(-1, 1, (1, 256)).astype(np.float32)
