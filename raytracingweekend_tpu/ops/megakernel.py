@@ -296,6 +296,35 @@ _ATAN_C = (0.9999997, -0.33327976, 0.19895026, -0.13537675,
            0.0847597, -0.03775171, 0.008097295)
 
 
+# cos/sin of 2*pi*u: Mosaic's native sine/cosine lowerings are VERY
+# expensive — stubbing the two azimuth pairs out measured 650 -> 906
+# M seg/s on cornell_box (39% of the whole iteration). Every angle the
+# kernel draws is a random azimuth of the form 2*pi*U with U uniform in
+# [0, 1), so a single full-period LSQ pair on x = u - 1/2 (Horner over
+# x^2, max abs err 7e-7 — orders below MC noise) replaces them with ~16
+# FMAs and no range reduction.
+_COS2PI_C = (0.99999999989, -19.739208743454, 64.939389075891,
+             -85.456658314741, 60.242131337726, -26.404668183602,
+             7.8001314261587, -1.4531123022253)
+_SIN2PI_C = (6.2831853068171, -41.34170217066, 81.605245360302,
+             -76.705760951618, 42.057370069181, -15.084554762991,
+             3.7759575468553, -0.61505995531992)
+
+
+def _cossin2pi(u):
+    """(cos(2*pi*u), sin(2*pi*u)) for u in [0, 1)."""
+    x = u - 0.5
+    x2 = x * x
+    cp = jnp.float32(_COS2PI_C[-1])
+    for c in _COS2PI_C[-2::-1]:
+        cp = cp * x2 + c
+    sp = jnp.float32(_SIN2PI_C[-1])
+    for c in _SIN2PI_C[-2::-1]:
+        sp = sp * x2 + c
+    # the fit is about x = u - 1/2: cos(2*pi*u) = -cos(2*pi*x)
+    return -cp, -(x * sp)
+
+
 def _atan2(y, x):
     """Octant-reduced polynomial atan2 matching jnp.arctan2 conventions
     (range (-pi, pi]; atan2(0, 0) = 0) to ~6e-7 abs."""
@@ -364,9 +393,9 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         time = c_t0 + u[2:3] * (c_t1 - c_t0)
         if cfg.lens:
             r = c_lens * jnp.sqrt(u[3:4])
-            phi = (2.0 * math.pi) * u[4:5]
-            rdx = r * jnp.cos(phi)
-            rdy = r * jnp.sin(phi)
+            cph, sph2 = _cossin2pi(u[4:5])
+            rdx = r * cph
+            rdy = r * sph2
             offx = c_ux * rdx + c_vvx * rdy
             offy = c_uy * rdx + c_vvy * rdy
             offz = c_uz * rdx + c_vvz * rdy
@@ -1044,9 +1073,9 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         r2 = u[1:2]
         z = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
         sq_ = jnp.sqrt(r2)
-        phi = (2.0 * math.pi) * u[0:1]
-        lx_t = jnp.cos(phi) * sq_
-        ly_t = jnp.sin(phi) * sq_
+        cphi, sphi = _cossin2pi(u[0:1])
+        lx_t = cphi * sq_
+        ly_t = sphi * sq_
         ux_, uy_, uz_, vx, vy, vz = _onb(nx_, ny_, nz_)
         lamx = lx_t * ux_ + ly_t * vx + z * nx_
         lamy = lx_t * uy_ + ly_t * vy + z * ny_
@@ -1105,15 +1134,15 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     ctm = jnp.sqrt(jnp.maximum(
                         1.0 - radl * radl / jnp.maximum(dist2, 1e-20), 0.0))
                     zc = 1.0 + ul[2:3] * (ctm - 1.0)
-                    phl = (2.0 * math.pi) * ul[1:2]
+                    cpl, spl = _cossin2pi(ul[1:2])
                     sc = jnp.sqrt(jnp.maximum(1.0 - zc * zc, 0.0))
                     winv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-20))
                     wlx = tcx * winv
                     wly = tcy * winv
                     wlz = tcz * winv
                     lux, luy, luz, lvx, lvy, lvz = _onb(wlx, wly, wlz)
-                    cph = jnp.cos(phl) * sc
-                    sph_ = jnp.sin(phl) * sc
+                    cph = cpl * sc
+                    sph_ = spl * sc
                     dlx = cph * lux + sph_ * lvx + zc * wlx
                     dly = cph * luy + sph_ * lvy + zc * wly
                     dlz = cph * luz + sph_ * lvz + zc * wlz
@@ -1221,13 +1250,13 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             # one of the two, so reusing the draws keeps them independent
             zb = 1.0 - 2.0 * u[2:3]
             rb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
-            phib = (2.0 * math.pi) * u[3:4]
+            cpb, spb = _cossin2pi(u[3:4])
             # ball radius ~ U^(1/3); cbrt has no Mosaic lowering, use
             # exp(log/3) (u == 0 maps to radius 0, the correct limit)
             radb = jnp.exp(jnp.log(jnp.maximum(u[4:5], 1e-30))
                            * (1.0 / 3.0))
-            ballx = rb * jnp.cos(phib) * radb
-            bally = rb * jnp.sin(phib) * radb
+            ballx = rb * cpb * radb
+            bally = rb * spb * radb
             ballz = zb * radb
         if cfg.has_metal:
             fz = fuzz_v

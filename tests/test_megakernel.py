@@ -377,3 +377,20 @@ def test_mega_earth_image_texture_matches_wavefront():
     np.testing.assert_allclose(img.mean(axis=(0, 1)), ref.mean(axis=(0, 1)),
                                atol=0.03)
     assert np.abs(_blocks(img) - _blocks(ref)).max() < 0.2
+
+
+def test_cossin2pi_matches_numpy():
+    """The polynomial azimuth cos/sin (native Mosaic sine/cosine measured
+    ~39% of a cornell iteration) must match numpy to well under MC noise
+    over the full [0, 1) period."""
+    u = np.linspace(0.0, 1.0, 100001, endpoint=False,
+                    dtype=np.float32).reshape(1, -1)
+    c, s = mk._cossin2pi(jnp.asarray(u))
+    np.testing.assert_allclose(np.asarray(c), np.cos(2 * np.pi * u),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s), np.sin(2 * np.pi * u),
+                               atol=2e-6)
+    # unit-circle consistency (directions are re-normalized downstream,
+    # but the pair should already be coherent)
+    np.testing.assert_allclose(np.asarray(c) ** 2 + np.asarray(s) ** 2,
+                               1.0, atol=5e-6)
