@@ -260,20 +260,15 @@ def checker_spheres(aspect: float) -> st.Scene:
     return b.build(background=st.BG_GRADIENT, name="checker_spheres")
 
 
-@register("earth")
-def earth_scene(aspect: float, image_path: str | None = None) -> st.Scene:
-    """Book-2 image-texture globe. The reference ships earth.jpg but its
-    image_texture is dead code (no decoder exists in its tree, texture.h:73-98
-    — SURVEY.md §2.1 #14); here the native libjpeg decoder completes the
-    feature. Falls back to a procedural blue-green texture when no image is
-    available so the scene always renders."""
+def _earth_pixels(image_path: str | None = None):
+    """earth.jpg pixels via the native libjpeg decoder, or a procedural
+    stand-in (latitude bands) so image-texture scenes always render."""
     import os
 
     import numpy as np
 
     from ..utils import image as image_mod
 
-    b = SceneBuilder()
     candidates = [image_path] if image_path else []
     candidates += [
         os.path.join(os.path.dirname(os.path.dirname(
@@ -281,23 +276,48 @@ def earth_scene(aspect: float, image_path: str | None = None) -> st.Scene:
             "earth.jpg"),
         "/root/reference/RayTracingWeekend/earth.jpg",
     ]
-    pixels = None
     for cand in candidates:
         if cand and os.path.exists(cand):
             try:
-                pixels = image_mod.load_image(cand)
-                break
+                return image_mod.load_image(cand)
             except ValueError:
                 continue
-    if pixels is None:  # procedural stand-in: latitude bands
-        v = np.linspace(0.0, 1.0, 256)[:, None]
-        u = np.linspace(0.0, 1.0, 512)[None, :]
-        land = (np.sin(u * 21.0) * np.sin(v * 13.0)) > 0.3
-        pixels = np.where(land[..., None],
-                          np.array([0.2, 0.5, 0.2]),
-                          np.array([0.1, 0.2, 0.6]))
-    tex = b.image(pixels)
+    v = np.linspace(0.0, 1.0, 256)[:, None]
+    u = np.linspace(0.0, 1.0, 512)[None, :]
+    land = (np.sin(u * 21.0) * np.sin(v * 13.0)) > 0.3
+    return np.where(land[..., None],
+                    np.array([0.2, 0.5, 0.2]),
+                    np.array([0.1, 0.2, 0.6]))
+
+
+@register("earth")
+def earth_scene(aspect: float, image_path: str | None = None) -> st.Scene:
+    """Book-2 image-texture globe. The reference ships earth.jpg but its
+    image_texture is dead code (no decoder exists in its tree, texture.h:73-98
+    — SURVEY.md §2.1 #14); here the native libjpeg decoder completes the
+    feature."""
+    b = SceneBuilder()
+    tex = b.image(_earth_pixels(image_path))
     b.sphere((0, 0, 0), 2.0, b.lambertian(tex))
     b.camera((13, 2, 3), (0, 0, 0), (0, 1, 0), 20.0, aspect, 0.0, 10.0,
              0.0, 1.0)
     return b.build(background=st.BG_GRADIENT, name="earth")
+
+
+@register("earth_rect")
+def earth_rect_scene(aspect: float, image_path: str | None = None) -> st.Scene:
+    """Capability scene: the earth image texture on an axis RECT (and on a
+    sphere beside it) — exercises image_texture::value with the rect's
+    planar uv (hittable.h:160-172 + texture.h:73-98), the case the
+    reference's dead image_texture never reaches. The megakernel fetches
+    the rect texel through the same one-hot atlas path as sphere texels
+    (RT_IMG/RT_IDA/RT_IDB lanes)."""
+    b = SceneBuilder()
+    tex = b.image(_earth_pixels(image_path))
+    b.rect("xy", -3.0, 3.0, -1.5, 1.5, -1.0, b.lambertian(tex))
+    b.sphere((0, 0, 2.0), 1.0, b.lambertian(tex))
+    b.sphere((0, -101.8, 0), 100.0,
+             b.lambertian(b.constant((0.6, 0.6, 0.6))))
+    b.camera((0, 0.5, 9), (0, 0, 0), (0, 1, 0), 40.0, aspect, 0.0, 10.0,
+             0.0, 1.0)
+    return b.build(background=st.BG_GRADIENT, name="earth_rect")

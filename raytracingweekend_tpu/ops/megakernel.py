@@ -17,8 +17,8 @@ RayTracingWeekend.cpp:45-160 over hittable_list.h:11-37 — covering sphere
 scenes (random_balls / dielectric), rect/light scenes with one-sample
 MIS (cornell_box and variants), checker + Perlin-noise textures (all three
 display modes), image textures on spheres (gather-free one-hot texel
-fetch over a VMEM-resident hi/lo-bf16 atlas), and constant media
-(cornell_smoke). Image textures on rects/media, BVH scenes, and debug
+fetch over a VMEM-resident hi/lo-bf16 atlas, on spheres, rects, AND
+media), and constant media (cornell_smoke). BVH scenes and debug
 render modes keep the wavefront path (see supports_scene).
 
 Design notes:
@@ -87,7 +87,7 @@ CLUS_LANES = 128
 (RT_A0, RT_A1, RT_B0, RT_B1, RT_K, RT_COS, RT_SIN, RT_OFFX, RT_OFFY,
  RT_OFFZ, RT_NX, RT_NY, RT_NZ, RT_MTYPE, RT_ALBX, RT_ALBY, RT_ALBZ,
  RT_FUZZ, RT_RIDX, RT_CHK, RT_EVENX, RT_EVENY, RT_EVENZ, RT_ODDX,
- RT_ODDY, RT_ODDZ, RT_NOI, RT_NSC) = range(28)
+ RT_ODDY, RT_ODDZ, RT_NOI, RT_NSC, RT_IMG, RT_IDA, RT_IDB) = range(31)
 RECT_LANES = 128
 
 # ---- light-table lanes: (L, 128), light-major (kind/axis are static) ----
@@ -100,7 +100,7 @@ LIGHT_LANES = 128
 # min/max; NIRHO = -1/density. ----
 (MD_P0X, MD_P0Y, MD_P0Z, MD_P1X, MD_P1Y, MD_P1Z, MD_COS, MD_SIN,
  MD_OFFX, MD_OFFY, MD_OFFZ, MD_NIRHO, MD_ALBX, MD_ALBY,
- MD_ALBZ, MD_NOI, MD_NSC) = range(17)
+ MD_ALBZ, MD_NOI, MD_NSC, MD_IMG) = range(18)
 MED_LANES = 128
 
 # ---- camera parameter lanes: (1, 128) ----
@@ -120,7 +120,8 @@ MED_LANES = 128
 STATE_ROWS = 24
 
 
-def _uniforms(n_rows, T, seed, tile, it, salt: int):
+def _uniforms(n_rows, T, seed, tile, it, salt: int,
+              bitcast=pltpu.bitcast):
     """U[0, 1) rows from a counter-based hash RNG.
 
     Stateless: every value is lowbias32(seed, tile, iteration, draw-site
@@ -149,7 +150,9 @@ def _uniforms(n_rows, T, seed, tile, it, salt: int):
     x = x ^ shr(x, 15)
     x = x * c32(0x846CA68B)
     x = x ^ shr(x, 16)
-    return pltpu.bitcast(shr(x, 9) | c32(0x3F800000), jnp.float32) - 1.0
+    # bitcast is pltpu.bitcast in-kernel; the XLA replay (ops/mega_grad.py)
+    # passes lax.bitcast_convert_type — identical int32 -> f32 bits.
+    return bitcast(shr(x, 9) | c32(0x3F800000), jnp.float32) - 1.0
 
 
 # ---- in-kernel Perlin marble (texture.h:55-69 over noise.h:89-151) ----
@@ -355,9 +358,11 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             light_ref, med_ref, nperm_ref, nrvh_ref, nrvl_ref, img_ref,
             seed_ref, out_ref, *scratch, cfg):
     """One tile: T per-pixel slots, each tracing cfg.spp full paths."""
-    if cfg.idx_extract:
+    af_ref = tc_ref = None
+    if cfg.fe:
+        af_ref, sf_ref = scratch
+    elif cfg.idx_extract:
         (sf_ref,) = scratch
-        tc_ref = None
     else:
         tc_ref, sf_ref = scratch
     T = cfg.T
@@ -427,9 +432,14 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
               R_BLK):
         sf_ref[r:r + 1, :] = zero
     sf_ref[R_DONE:R_DONE + 1, :] = jnp.where(valid, 0.0, spp)
+    if cfg.tape:
+        # Decision-tape rows (one winner code per bounce iteration) start
+        # at the miss sentinel so the XLA replay (ops/mega_grad.py) reads
+        # defined values even past the tile's last live iteration.
+        out_ref[0, 8:8 + cfg.n_iters, :] = jnp.full(
+            (cfg.n_iters, T), -1.0, jnp.float32)
 
-    def body(carry):
-        it, _ = carry
+    def one_iter(it):
         ox = sf_ref[R_OX:R_OX + 1, :]
         oy = sf_ref[R_OY:R_OY + 1, :]
         oz = sf_ref[R_OZ:R_OZ + 1, :]
@@ -455,7 +465,11 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         # plain per-pixel mean. (Sample counts are weakly correlated with
         # sample values, a ratio-estimator bias of relative order 1/spp —
         # orders below MC noise at any practical spp.)
-        active = valid
+        # Tape mode (the differentiable path, ops/mega_grad.py) disables
+        # overdraw: a lane idles once it has traced exactly spp samples, so
+        # the XLA replay's per-lane state machine mirrors the kernel's
+        # deterministically.
+        active = (valid & (done < spp)) if cfg.tape else valid
         sf_ref[R_SEGS:R_SEGS + 1, :] = (sf_ref[R_SEGS:R_SEGS + 1, :]
                                         + jnp.where(active, 1.0, 0.0))
 
@@ -469,6 +483,10 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         idz_ = 1.0 / dz
         if cfg.has_spheres:
             sf_ref[R_BEST:R_BEST + 1, :] = jnp.full((1, T), BIG, jnp.float32)
+            if cfg.fe:
+                # fused extraction: running winner-attribute rows start at
+                # zero (the all-miss value the epilogue expects)
+                af_ref[:, :] = jnp.zeros((A_ROWS, T), jnp.float32)
             if cfg.idx_extract:
                 sf_ref[R_BIDX:R_BIDX + 1, :] = jnp.full(
                     (1, T), float(cfg.S), jnp.float32)
@@ -476,7 +494,10 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         # tile skip whole quadratic blocks a whole-tile any() could not.
         NCH = cfg.chunks
         W = T // NCH
-        for c in range(C if cfg.has_spheres else 0):
+        # "quad" phase stub (tools/mega_phase.py): drop the whole sphere
+        # sweep so its per-iteration cost shows up as a timing delta.
+        run_spheres = cfg.has_spheres and "quad" not in cfg.stub
+        for c in range(C if run_spheres else 0):
             if cfg.cull:
                 tx0 = (clus_ref[c, K_MINX] - ox) * idx_
                 tx1 = (clus_ref[c, K_MAXX] - ox) * idx_
@@ -530,70 +551,104 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                         ox_s, oy_s, oz_s = ox, oy, oz
                         dx_s, dy_s, dz_s = dx, dy, dz
                         tm_s = time
-                    cx = sph_ref[lo:lo + SB, C_CX:C_CX + 1]
-                    cy = sph_ref[lo:lo + SB, C_CY:C_CY + 1]
-                    cz = sph_ref[lo:lo + SB, C_CZ:C_CZ + 1]
-                    if any(c_mov):
-                        if cfg.uniform_time:
-                            # 2 extra VPU ops per chunk beat re-slicing the
-                            # precomputed fracu row (layout hazard above).
-                            frac = (tm_s - cfg.ut_t0) * cfg.ut_idt
+                    # Fused-extraction mode (cfg.fe = EE) runs the cluster
+                    # as SB/EE sub-blocks, merging each sub-block's one-hot
+                    # attribute dot into a running (best_t, attr-rows) pair:
+                    # no (S, T) candidate scratch, no post-sweep global
+                    # mask, and the MXU dot of block e overlaps the VPU
+                    # quadratic of block e+1.
+                    EE = cfg.fe if cfg.fe else SB
+                    af_vals = af_ref[:, sl] if cfg.fe else None
+                    for e0 in range(0, SB, EE):
+                        elo = lo + e0
+                        cx = sph_ref[elo:elo + EE, C_CX:C_CX + 1]
+                        cy = sph_ref[elo:elo + EE, C_CY:C_CY + 1]
+                        cz = sph_ref[elo:elo + EE, C_CZ:C_CZ + 1]
+                        if any(c_mov):
+                            if cfg.uniform_time:
+                                # 2 extra VPU ops per chunk beat re-slicing
+                                # the precomputed fracu row (layout hazard
+                                # above).
+                                frac = (tm_s - cfg.ut_t0) * cfg.ut_idt
+                            else:
+                                frac = ((tm_s
+                                         - sph_ref[elo:elo + EE,
+                                                   C_T0:C_T0 + 1])
+                                        * sph_ref[elo:elo + EE,
+                                                  C_IDT:C_IDT + 1])
+                            if c_mov[0]:
+                                cx = cx + frac * sph_ref[elo:elo + EE,
+                                                         C_DCX:C_DCX + 1]
+                            if c_mov[1]:
+                                cy = cy + frac * sph_ref[elo:elo + EE,
+                                                         C_DCY:C_DCY + 1]
+                            if c_mov[2]:
+                                cz = cz + frac * sph_ref[elo:elo + EE,
+                                                         C_DCZ:C_DCZ + 1]
+                        ocx = ox_s - cx
+                        ocy = oy_s - cy
+                        ocz = oz_s - cz
+                        b = ocx * dx_s + ocy * dy_s + ocz * dz_s
+                        # r2 lane is -1 on inactive rows (build_tables),
+                        # making disc < 0 there — the active mask costs
+                        # zero ops.
+                        cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                              - sph_ref[elo:elo + EE, C_R2:C_R2 + 1])
+                        disc = b * b - cc
+                        # Unguarded sqrt: disc < 0 yields NaN, every
+                        # comparison with NaN is false, so the two selects
+                        # funnel misses to BIG — three fewer VPU ops per
+                        # (sphere, ray) than the max+compare+and form on
+                        # the hottest line of the renderer.
+                        sq = jnp.sqrt(disc)
+                        tn = -b - sq
+                        tc = jnp.where(tn > t_min, tn, -b + sq)
+                        tcv = jnp.where(tc > t_min, tc, BIG)
+                        blk_min = jnp.min(tcv, axis=0, keepdims=True)
+                        old_best = sf_ref[R_BEST:R_BEST + 1, sl]
+                        if cfg.fe and "extract" in cfg.stub:
+                            pass  # phase stub: sweep without extraction
+                        elif cfg.fe:
+                            # Strictly-better merge: earlier (importance-
+                            # ordered) blocks keep exact cross-block ties,
+                            # mirroring the reference's strict `t < closest`
+                            # list sweep; in-block ties sum attribute rows
+                            # exactly like the global one-hot did (exact
+                            # geometric duplicates are deduped at build).
+                            # A blk_min == BIG sub-block makes the one-hot
+                            # all-ones, but upd is false there so the
+                            # garbage candidate is discarded.
+                            upd = blk_min < old_best
+                            m_e = (tcv == blk_min).astype(jnp.float32)
+                            cand = jax.lax.dot_general(
+                                attr_ref[:, elo:elo + EE], m_e,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                            af_vals = jnp.where(upd, cand, af_vals)
+                        elif cfg.idx_extract:
+                            # Running (best_t, winner-slot) merge: the
+                            # block's argmin (equality against the block
+                            # min; smallest sub-row wins in-block ties)
+                            # replaces the winner iff it strictly beats the
+                            # running best.
+                            upd = blk_min < old_best
+                            # int iota + cast: Mosaic's tpu.iota verifier
+                            # rejects float results on-chip (f32 iota
+                            # compiles in interpret mode only).
+                            sub = jax.lax.broadcasted_iota(
+                                jnp.int32, (EE, W), 0).astype(jnp.float32)
+                            cand = jnp.min(
+                                jnp.where(tcv == blk_min, sub,
+                                          float(cfg.S)),
+                                axis=0, keepdims=True) + float(elo)
+                            sf_ref[R_BIDX:R_BIDX + 1, sl] = jnp.where(
+                                upd, cand, sf_ref[R_BIDX:R_BIDX + 1, sl])
                         else:
-                            frac = ((tm_s
-                                     - sph_ref[lo:lo + SB, C_T0:C_T0 + 1])
-                                    * sph_ref[lo:lo + SB, C_IDT:C_IDT + 1])
-                        if c_mov[0]:
-                            cx = cx + frac * sph_ref[lo:lo + SB,
-                                                     C_DCX:C_DCX + 1]
-                        if c_mov[1]:
-                            cy = cy + frac * sph_ref[lo:lo + SB,
-                                                     C_DCY:C_DCY + 1]
-                        if c_mov[2]:
-                            cz = cz + frac * sph_ref[lo:lo + SB,
-                                                     C_DCZ:C_DCZ + 1]
-                    ocx = ox_s - cx
-                    ocy = oy_s - cy
-                    ocz = oz_s - cz
-                    b = ocx * dx_s + ocy * dy_s + ocz * dz_s
-                    # r2 lane is -1 on inactive rows (build_tables), making
-                    # disc < 0 there — the active mask costs zero ops.
-                    cc = (ocx * ocx + ocy * ocy + ocz * ocz
-                          - sph_ref[lo:lo + SB, C_R2:C_R2 + 1])
-                    disc = b * b - cc
-                    # Unguarded sqrt: disc < 0 yields NaN, every comparison
-                    # with NaN is false, so the two selects funnel misses to
-                    # BIG — three fewer VPU ops per (sphere, ray) than the
-                    # max+compare+and form on the hottest line of the
-                    # renderer.
-                    sq = jnp.sqrt(disc)
-                    tn = -b - sq
-                    tc = jnp.where(tn > t_min, tn, -b + sq)
-                    tcv = jnp.where(tc > t_min, tc, BIG)
-                    blk_min = jnp.min(tcv, axis=0, keepdims=True)
-                    old_best = sf_ref[R_BEST:R_BEST + 1, sl]
-                    if cfg.idx_extract:
-                        # Running (best_t, winner-slot) merge: the block's
-                        # argmin (equality against the block min; smallest
-                        # sub-row wins in-block ties) replaces the winner
-                        # iff it strictly beats the running best — across
-                        # blocks the earlier (importance-ordered) cluster
-                        # keeps exact ties, mirroring the reference's
-                        # strict `t < closest` list sweep.
-                        upd = blk_min < old_best
-                        # int iota + cast: Mosaic's tpu.iota verifier
-                        # rejects float results on-chip (f32 iota compiles
-                        # in interpret mode only).
-                        sub = jax.lax.broadcasted_iota(
-                            jnp.int32, (SB, W), 0).astype(jnp.float32)
-                        cand = jnp.min(
-                            jnp.where(tcv == blk_min, sub, float(cfg.S)),
-                            axis=0, keepdims=True) + float(lo)
-                        sf_ref[R_BIDX:R_BIDX + 1, sl] = jnp.where(
-                            upd, cand, sf_ref[R_BIDX:R_BIDX + 1, sl])
-                    else:
-                        tc_ref[lo:lo + SB, sl] = tcv
-                    sf_ref[R_BEST:R_BEST + 1, sl] = jnp.minimum(old_best,
-                                                                blk_min)
+                            tc_ref[elo:elo + EE, sl] = tcv
+                        sf_ref[R_BEST:R_BEST + 1, sl] = jnp.minimum(
+                            old_best, blk_min)
+                    if cfg.fe:
+                        af_ref[:, sl] = af_vals
                     sf_ref[R_BLK:R_BLK + 1, sl] = (
                         sf_ref[R_BLK:R_BLK + 1, sl] + 1.0)
 
@@ -608,7 +663,7 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 vote = jnp.any(amask[:, sl] if NCH > 1 else amask)
                 pl.when(vote)(blk)
 
-                if not cfg.idx_extract:
+                if tc_ref is not None:
                     @pl.when(jnp.logical_not(vote))
                     def _(lo=lo, sl=sl):
                         # BIG-fill is load-bearing: the one-hot extraction
@@ -648,6 +703,10 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             r_odx = zz1
             r_ody = zz1
             r_odz = zz1
+            r_ridx = zz1  # winning rect's table row (tape mode)
+            r_img = zz1   # 1 + atlas id on image-textured rects
+            r_u = zz1     # winning rect's (u, v) for the texel fetch
+            r_v = zz1
             # Transform groups: every rect sharing one baked
             # (rotate_y, translate) — e.g. the 6 faces of a rotated box —
             # computes its object-space ray AND the reciprocal direction
@@ -718,6 +777,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                        & (pa_ >= rl(RT_A0)) & (pa_ <= rl(RT_A1))
                        & (pb_ >= rl(RT_B0)) & (pb_ <= rl(RT_B1)))
                 rb_t = jnp.where(okr, t_r, rb_t)
+                if cfg.tape:
+                    r_ridx = jnp.where(okr, float(ri), r_ridx)
                 r_mt = jnp.where(okr, rl(RT_MTYPE), r_mt)
                 r_nxa = jnp.where(okr, rl(RT_NX), r_nxa)
                 r_nya = jnp.where(okr, rl(RT_NY), r_nya)
@@ -732,6 +793,14 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 if cfg.has_noise:
                     r_noi = jnp.where(okr, rl(RT_NOI), r_noi)
                     r_nsc = jnp.where(okr, rl(RT_NSC), r_nsc)
+                if cfg.has_image:
+                    # rect uv = planar offset / extent (hittable.h:160-172
+                    # et al.), with the reciprocal extents baked per rect
+                    r_img = jnp.where(okr, rl(RT_IMG), r_img)
+                    r_u = jnp.where(okr, (pa_ - rl(RT_A0)) * rl(RT_IDA),
+                                    r_u)
+                    r_v = jnp.where(okr, (pb_ - rl(RT_B0)) * rl(RT_IDB),
+                                    r_v)
                 if cfg.has_checker:
                     r_chk = jnp.where(okr, rl(RT_CHK), r_chk)
                     r_evx = jnp.where(okr, rl(RT_EVENX), r_evx)
@@ -757,6 +826,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             m_abz = zzm
             m_noi = zzm
             m_nsc = zzm
+            m_vidx = zzm  # winning medium's table row (tape mode)
+            m_img = zzm   # 1 + atlas id on image-textured media
             um = _uniforms(cfg.V, T, seed, tile, it, salt=4)
             for vi in range(cfg.V):
                 def ml(kk, vi=vi):
@@ -819,15 +890,37 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 okm = (m_bh & (m_in < m_out) & (tci < m_out)
                        & (tci < md_t))
                 md_t = jnp.where(okm, tci, md_t)
+                if cfg.tape:
+                    m_vidx = jnp.where(okm, float(vi), m_vidx)
                 m_abx = jnp.where(okm, ml(MD_ALBX), m_abx)
                 m_aby = jnp.where(okm, ml(MD_ALBY), m_aby)
                 m_abz = jnp.where(okm, ml(MD_ALBZ), m_abz)
                 if cfg.has_noise:
                     m_noi = jnp.where(okm, ml(MD_NOI), m_noi)
                     m_nsc = jnp.where(okm, ml(MD_NSC), m_nsc)
+                if cfg.has_image:
+                    m_img = jnp.where(okm, ml(MD_IMG), m_img)
             use_med = md_t < best_t
             best_t = jnp.minimum(best_t, md_t)
         hit = best_t < _HIT_CUT
+
+        if cfg.tape:
+            # ---- decision tape: the winner primitive per (lane, bounce).
+            # Everything else the replay needs (uniform draws, branch
+            # coins, roots) is recomputable from the counter RNG + scene
+            # params; the winner is the one quantity whose recomputation
+            # would cost the full S-scan. Encoding: -1 miss; [0, S) sphere
+            # slot; [S, S+R) rect row; [S+R, S+R+V) medium row.
+            wcode = jnp.full((1, T), -1.0, jnp.float32)
+            if cfg.has_spheres:
+                wcode = sf_ref[R_BIDX:R_BIDX + 1, :]  # slot (S on miss)
+            if cfg.R:
+                wcode = jnp.where(use_rect, float(cfg.S) + r_ridx, wcode)
+            if cfg.V:
+                wcode = jnp.where(use_med, float(cfg.S + cfg.R) + m_vidx,
+                                  wcode)
+            wcode = jnp.where(active & hit, wcode, -1.0)
+            out_ref[0, pl.ds(8 + it, 1), :] = wcode
 
         px_ = ox + best_t * dx
         py_ = oy + best_t * dy
@@ -835,7 +928,12 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
 
         if cfg.has_spheres:
             # ---- one-hot MXU attribute extraction ----
-            if cfg.idx_extract and cfg.eb < cfg.S:
+            if cfg.fe:
+                # fused mode already merged the winner's rows in the sweep
+                attrs = af_ref[...]
+            elif "extract" in cfg.stub:
+                attrs = jnp.zeros((A_ROWS, T), jnp.float32)
+            elif cfg.idx_extract and cfg.eb < cfg.S:
                 # Blocked extraction: the one-shot (S, T) one-hot
                 # intermediate costs S*T*4 bytes of VMEM (29 MB at
                 # S=3.6k, T=2048 — the backend refuses to compile);
@@ -934,7 +1032,7 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     ody_v = jnp.where(use_rect, r_ody, ody_v)
                     odz_v = jnp.where(use_rect, r_odz, odz_v)
                 if cfg.has_image:
-                    img_v = jnp.where(use_rect, 0.0, img_v)
+                    img_v = jnp.where(use_rect, r_img, img_v)
         else:
             nx_, ny_, nz_ = r_nxa, r_nya, r_nza
             mtype = r_mt
@@ -948,6 +1046,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 chk_v = r_chk
                 evx_v, evy_v, evz_v = r_evx, r_evy, r_evz
                 odx_v, ody_v, odz_v = r_odx, r_ody, r_odz
+            if cfg.has_image:
+                img_v = r_img
 
         if cfg.V:
             # medium scatter vertex: isotropic material, arbitrary normal
@@ -964,7 +1064,7 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             if cfg.has_checker:
                 chk_v = jnp.where(use_med, 0.0, chk_v)
             if cfg.has_image:
-                img_v = jnp.where(use_med, 0.0, img_v)
+                img_v = jnp.where(use_med, m_img, img_v)
 
         if cfg.has_noise:
             # noise-texture albedo (texture.h:55-69): gray Perlin value on
@@ -1027,6 +1127,14 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             theta = _asin(ny_)
             u_img = 1.0 - (phi + _PI) * (0.5 / _PI)
             v_img = (theta + 0.5 * _PI) * (1.0 / _PI)
+            if cfg.R:
+                # rect winners carry their planar uv (hittable.h:160-172)
+                u_img = jnp.where(use_rect, r_u, u_img)
+                v_img = jnp.where(use_rect, r_v, v_img)
+            if cfg.V:
+                # media sample at uv = (0, 0) (unset in the reference)
+                u_img = jnp.where(use_med, 0.0, u_img)
+                v_img = jnp.where(use_med, 0.0, v_img)
             Hp = cfg.img_hp
             Wp = cfg.img_wp
             iota_w = jax.lax.broadcasted_iota(jnp.int32, (Wp, T), 0)
@@ -1322,6 +1430,17 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         wx = jnp.where(is_diel, 1.0, albx)
         wy = jnp.where(is_diel, 1.0, alby)
         wz = jnp.where(is_diel, 1.0, albz)
+        if "shade" in cfg.stub:
+            # phase stub: fixed bounce-back direction + near-constant
+            # weights. Everything between the extraction and here (RNG
+            # draws, ONB, samplers, material math) becomes dead code; the
+            # 1e-30*alb term keeps the extraction itself alive so the
+            # deltas separate cleanly.
+            ndx, ndy, ndz = -dx, -dy, -dz
+            wx = albx * 1e-30 + 0.7
+            wy = alby * 1e-30 + 0.7
+            wz = albz * 1e-30 + 0.7
+            scatter_ok = dy < 2.0  # unit dirs: always true, un-foldable
         # NOTE: no jnp.where on i1 vectors — Mosaic lowers bool select_n
         # through an i8->i1 trunci it does not support.
         scatter_ok = jnp.logical_or(jnp.logical_not(is_lam), lam_ok)
@@ -1397,9 +1516,20 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         sf_ref[R_DONE:R_DONE + 1, :] = done
         sf_ref[R_ITERS:R_ITERS + 1, :] = sf_ref[R_ITERS:R_ITERS + 1, :] + 1.0
 
+    def body(carry):
+        it, _ = carry
+        # cfg.unroll bounce iterations per while-loop trip: the loop
+        # condition is a cross-lane any() reduce + scalar branch whose
+        # per-iteration cost the phase breakdown (tools/mega_phase.py)
+        # showed dominating the fixed tail. Under overdraw the overshoot
+        # is FREE: lanes past their spp keep adding samples of their own
+        # pixel and the epilogue renormalizes by the true counts.
+        for kk in range(cfg.unroll):
+            one_iter(it + kk)
+        done_now = sf_ref[R_DONE:R_DONE + 1, :]
         # int32 live-flag carry: scalar i1 carries hit Mosaic truncation
         # limits.
-        return it + 1, jnp.any(done < spp).astype(jnp.int32)
+        return it + cfg.unroll, jnp.any(done_now < spp).astype(jnp.int32)
 
     jax.lax.while_loop(lambda c: c[1] > 0, body,
                        (jnp.zeros((), jnp.int32),
@@ -1443,11 +1573,11 @@ def _atlas_dims(images) -> tuple:
 def supports_scene(scene: st.Scene) -> bool:
     """True when the megakernel covers this scene: sphere/rect geometry,
     constant + checker + Perlin-noise textures (all three display modes,
-    on spheres, rects, and isotropic media), image textures on spheres
-    (VMEM-resident atlas up to 8 MB), constant media, any background,
-    lights + one-sample MIS (rect and sphere lights). Out of scope:
-    image textures on rects/media, BVH-routed scenes, normal-debug
-    rendering, non-MIS diffuse strategies."""
+    on spheres, rects, and isotropic media), image textures on spheres,
+    rects, AND media (VMEM-resident atlas up to 8 MB), constant media,
+    any background, lights + one-sample MIS (rect and sphere lights).
+    Out of scope: BVH-routed scenes, normal-debug rendering, non-MIS
+    diffuse strategies."""
     if (scene.bvh is not None  # BVH scenes route through closest_hit
             or scene.needs_legacy_textures
             or scene.render_type != st.RENDER_SHADED
@@ -1458,20 +1588,6 @@ def supports_scene(scene: st.Scene) -> bool:
     if scene.has_image_tex:
         tex = scene.textures
         if tex.images is None:
-            return False
-        tt = np.asarray(tex.ttype)
-        mat_tex = np.asarray(scene.materials.tex)
-        # image textures are fetched through the sphere attribute rows
-        # only: a rect or medium wearing one keeps the wavefront path
-        rl = np.asarray(scene.rects.active).astype(bool)
-        if rl.any() and np.any(
-                tt[mat_tex[np.asarray(scene.rects.mat)[rl]]]
-                == st.TEX_IMAGE):
-            return False
-        vl = np.asarray(scene.media.active).astype(bool)
-        if vl.any() and np.any(
-                tt[mat_tex[np.asarray(scene.media.mat)[vl]]]
-                == st.TEX_IMAGE):
             return False
         if _atlas_dims(tex.images)[3] > (8 << 20):
             return False
@@ -1648,34 +1764,6 @@ def build_tables(scene: st.Scene, SB: int = 64):
                    (A_ODDZ, odc[:, 2]), (A_IMG, imgf)):
         attr_tab[row] = v
 
-    # ---- image atlas planes: per image, rows [6*Hp*id + plane*Hp + j]
-    # with plane = (hi_r, hi_g, hi_b, lo_r, lo_g, lo_b); hi = bf16(x),
-    # lo = bf16(x - f32(hi)) reconstructs the f32 texel to ~2^-16 through
-    # two exact one-hot dots. Hp/Wp pad to the bf16 (16, 128) VMEM tile.
-    bf16 = jnp.bfloat16  # the ml_dtypes scalar type; valid as a numpy dtype
-    if has_image:
-        imgs = np.asarray(tex.images, np.float32)     # (I, Hm, Wm, 3)
-        hw_np = np.asarray(tex.image_hw)
-        n_img, img_hp, img_wp, _ = _atlas_dims(imgs)
-        h_m, w_m = imgs.shape[1], imgs.shape[2]
-        img_tab = np.zeros((n_img * 6 * img_hp, img_wp), bf16)
-        for ii in range(n_img):
-            for ch in range(3):
-                p = imgs[ii, :, :, ch]
-                hi = p.astype(bf16)
-                lo = (p - hi.astype(np.float32)).astype(bf16)
-                b0 = ii * 6 * img_hp
-                img_tab[b0 + ch * img_hp:
-                        b0 + ch * img_hp + h_m, :w_m] = hi
-                img_tab[b0 + (3 + ch) * img_hp:
-                        b0 + (3 + ch) * img_hp + h_m, :w_m] = lo
-        img_hw = tuple((int(hw_np[ii, 0]), int(hw_np[ii, 1]))
-                       for ii in range(n_img))
-    else:
-        n_img, img_hp, img_wp = 0, 16, 128
-        img_hw = ()
-        img_tab = np.zeros((16, 128), bf16)
-
     # cluster AABBs over the motion-swept spheres; per-cluster per-AXIS
     # static flags (dc == 0 on padding rows) let the kernel drop each
     # motion FMA no member needs — book-1's motion blur is y-only
@@ -1746,10 +1834,20 @@ def build_tables(scene: st.Scene, SB: int = 64):
             rect_tab[i, RT_NOI] = 1.0 + float(nmode_np[ti_r])
             rect_tab[i, RT_NSC] = float(np.asarray(tex.scale)[ti_r])
             noise_modes.add(int(nmode_np[ti_r]))
+        elif int(np.asarray(tex.ttype)[ti_r]) == st.TEX_IMAGE:
+            rect_tab[i, RT_IMG] = 1.0 + float(
+                np.asarray(tex.image_id)[ti_r])
+            has_image = True
         for lane, v in ((RT_A0, rects.a0), (RT_A1, rects.a1),
                         (RT_B0, rects.b0), (RT_B1, rects.b1),
                         (RT_K, rects.k)):
             rect_tab[i, lane] = float(np.asarray(v)[rr])
+        # reciprocal planar extents for the in-kernel rect uv
+        # (hittable.h:160-172; zero-extent rects never hit)
+        da_r = rect_tab[i, RT_A1] - rect_tab[i, RT_A0]
+        db_r = rect_tab[i, RT_B1] - rect_tab[i, RT_B0]
+        rect_tab[i, RT_IDA] = 1.0 / da_r if da_r != 0 else 0.0
+        rect_tab[i, RT_IDB] = 1.0 / db_r if db_r != 0 else 0.0
         rect_tab[i, RT_COS] = ct_
         rect_tab[i, RT_SIN] = st_
         rect_tab[i, RT_OFFX:RT_OFFZ + 1] = r_off[rr]
@@ -1828,6 +1926,41 @@ def build_tables(scene: st.Scene, SB: int = 64):
                 med_tab[i, MD_NOI] = 1.0 + float(nmode_np[ti_m])
                 med_tab[i, MD_NSC] = float(np.asarray(tex.scale)[ti_m])
                 noise_modes.add(int(nmode_np[ti_m]))
+            elif int(ttype_np[ti_m]) == st.TEX_IMAGE:
+                # isotropic media sample their texture at uv = (0, 0)
+                # (the reference leaves hit_record.u/v unset there;
+                # ops/geometry.py pins them to zero — mirrored in-kernel)
+                med_tab[i, MD_IMG] = 1.0 + float(
+                    np.asarray(tex.image_id)[ti_m])
+                has_image = True
+
+    # ---- image atlas planes: per image, rows [6*Hp*id + plane*Hp + j]
+    # with plane = (hi_r, hi_g, hi_b, lo_r, lo_g, lo_b); hi = bf16(x),
+    # lo = bf16(x - f32(hi)) reconstructs the f32 texel to ~2^-16 through
+    # two exact one-hot dots. Hp/Wp pad to the bf16 (16, 128) VMEM tile.
+    bf16 = jnp.bfloat16  # the ml_dtypes scalar type; valid as a numpy dtype
+    if has_image:
+        imgs = np.asarray(tex.images, np.float32)     # (I, Hm, Wm, 3)
+        hw_np = np.asarray(tex.image_hw)
+        n_img, img_hp, img_wp, _ = _atlas_dims(imgs)
+        h_m, w_m = imgs.shape[1], imgs.shape[2]
+        img_tab = np.zeros((n_img * 6 * img_hp, img_wp), bf16)
+        for ii in range(n_img):
+            for ch in range(3):
+                p = imgs[ii, :, :, ch]
+                hi = p.astype(bf16)
+                lo = (p - hi.astype(np.float32)).astype(bf16)
+                b0 = ii * 6 * img_hp
+                img_tab[b0 + ch * img_hp:
+                        b0 + ch * img_hp + h_m, :w_m] = hi
+                img_tab[b0 + (3 + ch) * img_hp:
+                        b0 + (3 + ch) * img_hp + h_m, :w_m] = lo
+        img_hw = tuple((int(hw_np[ii, 0]), int(hw_np[ii, 1]))
+                       for ii in range(n_img))
+    else:
+        n_img, img_hp, img_wp = 0, 16, 128
+        img_hw = ()
+        img_tab = np.zeros((16, 128), bf16)
 
     cam = scene.camera
     cam_vec = np.zeros((1, 128), np.float32)
@@ -1870,7 +2003,14 @@ def build_tables(scene: st.Scene, SB: int = 64):
                 light_axes=tuple(light_axes), light_rot=tuple(light_rot),
                 light_trans=tuple(light_trans),
                 V=V, med_kinds=tuple(med_kinds), med_rot=tuple(med_rot),
-                med_trans=tuple(med_trans))
+                med_trans=tuple(med_trans),
+                # index maps for the differentiable replay
+                # (ops/mega_grad.py): packed slot/row -> original scene row
+                slot_to_orig=np.where(idx_ext >= 0, idx_ext, 0)
+                .astype(np.int32),
+                rect_rows=tuple(int(r) for r in rlive),
+                med_rows=tuple(int(v) for v in vlive),
+                light_rows=tuple(int(r) for r in l_idx[:L]))
     return (jnp.asarray(sph_tab), jnp.asarray(attr_tab),
             jnp.asarray(clus_tab), jnp.asarray(rect_tab),
             jnp.asarray(light_tab), jnp.asarray(med_tab),
@@ -1917,11 +2057,15 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 8 + (cfg.n_iters if cfg.tape else 0), T),
+                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, T), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, 8 + (cfg.n_iters if cfg.tape else 0), T), jnp.float32),
         scratch_shapes=(
-            ([] if cfg.idx_extract else [pltpu.VMEM((S, T), jnp.float32)])
+            ([pltpu.VMEM((A_ROWS, T), jnp.float32)] if cfg.fe
+             else [] if cfg.idx_extract
+             else [pltpu.VMEM((S, T), jnp.float32)])
             + [pltpu.VMEM((STATE_ROWS, T), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
@@ -1963,10 +2107,12 @@ def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
 
 def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
               max_depth: int = 50, rr_depth: int | None = 4,
-              T: int = 2048, SB: int | None = None,
+              T: int | None = None, SB: int | None = None,
               slots_per_pixel: int = 1,
               chunks: int = 1, idx_extract: bool = False,
-              cull: bool | None = None, extract_block: int | None = None):
+              cull: bool | None = None, extract_block: int | None = None,
+              fuse_extract: int | None = None, tape: bool = False,
+              phase_stub: tuple = (), unroll: int | None = None):
     """Host-side launch plan: packed tables + static kernel cfg for
     _mega_call at this geometry. Shared by trace_mega and the sharded
     multi-chip entry (parallel.mesh.render_sharded_mega, which passes the
@@ -1974,17 +2120,34 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
     assert supports_scene(scene), "scene not supported by the megakernel"
     k = slots_per_pixel
     assert spp % k == 0, (spp, k)
+    if tape:
+        # The replay mirrors one lane == one pixel with exactly spp
+        # samples; the winner index rides R_BIDX, so force idx mode.
+        assert k == 1, "tape mode requires slots_per_pixel == 1"
+        assert unroll in (None, 1), "tape rows are bounded by n_iters"
+        idx_extract = True
+        fuse_extract = 0
     # Tiny sphere tables (e.g. the one glass ball in cornell_box) shrink to
     # one 8-sublane cluster rather than paying an SB-row quadratic.
     n_live = int(np.sum(np.asarray(scene.spheres.active)))
+    fe_will_apply = (fuse_extract is None or bool(fuse_extract)) \
+        and not idx_extract and not tape
     if SB is None:
         # Measured optima (docs/PERF.md): book-1-class tables want ONE
-        # dense vote-free cluster (163.8 M seg/s vs 101-136 for any voted
-        # split); tables past one cluster want SB=256 Morton clusters
-        # (34.1 M at 3.6k spheres vs 32.5 at SB=512, 23.9 at SB=64 —
-        # survival x vote-overhead tradeoff peaks near C~15).
-        SB = 512 if n_live <= 512 else 256
+        # dense vote-free cluster; past one cluster, fused extraction
+        # shifts the survival x vote-overhead knee to SB=128 Morton
+        # clusters (52.2 M seg/s at 3.6k spheres vs 45.9 at SB=256, 24.0
+        # at SB=64; the scratch path's old optimum was SB=256).
+        if n_live <= 512:
+            SB = 512
+        else:
+            SB = 128 if fe_will_apply else 256
     SB = min(SB, max(8, -(-n_live // 8) * 8))
+    # Fused extraction needs 128-aligned attribute lane slices (full-tile
+    # dot operands): round the cluster size up to a 128 multiple whenever
+    # fe could apply — padding rows are inert (r2 = -1 never hits).
+    if fe_will_apply and SB >= 128:
+        SB = -(-SB // 128) * 128
     tabs = build_tables_cached(scene, SB)
     meta = tabs[-1]
     # Keep the candidate-t scratch (S, T) within a conservative VMEM slice
@@ -1992,6 +2155,29 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
     # idx_extract mode has NO (S, T) scratch: the tile width survives big
     # sphere tables untouched.
     S_padded = meta["S"]
+    # Fused extraction (cfg.fe = sub-block rows): merge the one-hot
+    # attribute dot into the sweep itself — no (S, T) scratch in ANY
+    # shape. EE must be a 128-multiple (full-tile attr lane slices; see
+    # tools/mosaic_repros for the partial-tile dot hazard) dividing SB.
+    SB_eff = min(meta["SB"], S_padded)
+    if fuse_extract is None:
+        # auto-on (measured +25% on book-1, +35% at 3.6k spheres) unless
+        # the caller explicitly asked for the idx winner-tracking mode
+        fe = (128 if (meta["has_spheres"] and SB_eff % 128 == 0
+                      and not idx_extract) else 0)
+    else:
+        fe = fuse_extract
+        if fe and not (SB_eff % fe == 0 and fe % 128 == 0):
+            fe = 0  # table too small / misaligned for full-tile slices
+    if fe:
+        idx_extract = False
+    if T is None:
+        # Measured auto (docs/PERF.md): fused extraction removed the
+        # (S, T) scratch whose register pressure made wide tiles lose, so
+        # dense single-cluster sweeps now peak at T=4096 (224.6 vs 221.0 M
+        # seg/s on book-1); voted multi-cluster scenes and the scratch
+        # path keep the T=2048 knee.
+        T = 4096 if (fe and meta["C"] == 1) else 2048
     # idx_extract mode: pick the extraction block EB. The single-dot
     # one-hot costs an (S, T) VMEM intermediate; when that exceeds the
     # budget, block it at the largest 128-multiple divisor of S (so every
@@ -2014,7 +2200,8 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
                 eb = S_padded
                 while T > 512 and S_padded * T * 4 > (8 << 20):
                     T //= 2
-    while (not idx_extract) and T > 512 and S_padded * T * 4 > (8 << 20):
+    while ((not idx_extract) and (not fe) and T > 512
+           and S_padded * T * 4 > (8 << 20)):
         T //= 2
     T = max((T // 128) * 128, 512)  # lane slices must be 128-aligned
     if T % k:
@@ -2033,6 +2220,17 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
     cfg = _Cfg(T=T, SB=meta["SB"], C=meta["C"], S=meta["S"], nx=nx, ny=ny,
                spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,
                chunks=chunks, idx_extract=idx_extract, cull=cull, eb=eb,
+               fe=fe, tape=tape, stub=tuple(phase_stub),
+               # Measured auto (docs/PERF.md): amortizing the while-loop's
+               # cross-lane any() + scalar branch over 8 bounce iterations
+               # is worth +41% on cornell-class scenes (647 -> 912 M seg/s,
+               # cheap iterations) and nothing on big-sphere-table scenes
+               # (the sweep dwarfs the check; overshoot wastes more than
+               # the check costs). Tape mode must stay exact (1 row/iter).
+               unroll=((1 if tape or (meta["has_spheres"]
+                                      and meta["S"] >= 256) else 8)
+                       if unroll is None else unroll),
+               n_iters=(spp // k) * max_depth if tape else 0,
                clus_moving=meta["clus_moving"],
                uniform_time=meta["uniform_time"], ut_t0=meta["ut_t0"],
                ut_idt=meta["ut_idt"],
@@ -2062,12 +2260,14 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
 
 def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                max_depth: int = 50, rr_depth: int | None = 4,
-               T: int = 2048, SB: int | None = None,
+               T: int | None = None, SB: int | None = None,
                slots_per_pixel: int = 1,
                chunks: int = 1, idx_extract: bool = False,
                cull: bool | None = None, extract_block: int | None = None,
+               fuse_extract: int | None = None,
                interpret: bool = False,
-               return_stats: bool = False):
+               return_stats: bool = False,
+               phase_stub: tuple = (), unroll: int | None = None):
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
     segment count). Host-side prep is eager (concrete scene required).
 
@@ -2085,7 +2285,9 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                                 rr_depth=rr_depth, T=T, SB=SB,
                                 slots_per_pixel=slots_per_pixel,
                                 chunks=chunks, idx_extract=idx_extract,
-                                cull=cull, extract_block=extract_block)
+                                cull=cull, extract_block=extract_block,
+                                fuse_extract=fuse_extract,
+                                phase_stub=phase_stub, unroll=unroll)
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
      cam_vec, meta) = tabs
     pixf, inv = _pixel_layout(nx, ny, T, k)

@@ -93,7 +93,7 @@ def render_sharded(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
 
 
 def render_sharded_mega(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
-                        spp: int, max_depth: int = 50, T: int = 2048,
+                        spp: int, max_depth: int = 50, T: int | None = None,
                         SB: int | None = None, chunks: int = 1,
                         idx_extract: bool = False,
                         cull: bool | None = None,

@@ -23,9 +23,9 @@ def main():
     ap.add_argument("--spp", type=int, default=256)
     ap.add_argument("--max-depth", type=int, default=50)
     ap.add_argument("--launches", type=int, default=2)
-    ap.add_argument("--T", type=int, default=2048)
-    ap.add_argument("--SB", type=int, default=512,
-                    help="sphere cluster size (== table size: culling off)")
+    ap.add_argument("--T", type=int, default=0, help="0 = measured auto")
+    ap.add_argument("--SB", type=int, default=0,
+                    help="sphere cluster size (0 = measured auto)")
     ap.add_argument("--chunks", type=int, default=1,
                     help="lane-chunks per tile for cluster-skip votes")
     ap.add_argument("--idx", action="store_true",
@@ -34,6 +34,9 @@ def main():
                     help="1/0 force voted/vote-free blocking (-1 = auto)")
     ap.add_argument("--eb", type=int, default=0,
                     help="idx extraction block size (0 = auto)")
+    ap.add_argument("--fe", type=int, default=-1,
+                    help="fused-extraction sub-block rows (-1 = auto, "
+                         "0 = off)")
     ap.add_argument("--stats", action="store_true",
                     help="also report utilization and cull-survival rate")
     args = ap.parse_args()
@@ -49,10 +52,12 @@ def main():
 
     def launch(k):
         return mk.trace_mega(k, scene, args.nx, args.ny, args.spp,
-                             max_depth=args.max_depth, T=args.T, SB=args.SB,
+                             max_depth=args.max_depth, T=args.T or None,
+                             SB=args.SB or None,
                              chunks=args.chunks, idx_extract=args.idx,
                              cull=None if args.cull < 0 else bool(args.cull),
                              extract_block=args.eb or None,
+                             fuse_extract=None if args.fe < 0 else args.fe,
                              return_stats=True)
 
     key = jax.random.key(0)
@@ -74,12 +79,15 @@ def main():
         iters = sum(float(li) for li, _ in stats)
         blocks = sum(float(blk) for _, blk in stats)
         _, cfg, _, _ = mk.make_plan(scene, args.nx, args.ny, args.spp,
-                                    max_depth=args.max_depth, T=args.T,
-                                    SB=args.SB, chunks=args.chunks,
+                                    max_depth=args.max_depth,
+                                    T=args.T or None, SB=args.SB or None,
+                                    chunks=args.chunks,
                                     idx_extract=args.idx,
                                     cull=(None if args.cull < 0
                                           else bool(args.cull)),
-                                    extract_block=args.eb or None)
+                                    extract_block=args.eb or None,
+                                    fuse_extract=(None if args.fe < 0
+                                                  else args.fe))
         C = cfg.C
         surv = blocks / max(iters * C, 1.0)
         extra = (f" util={total / max(iters, 1.0):.3f}"
