@@ -218,9 +218,11 @@ class Scene:
     has_isotropic: bool = struct.field(pytree_node=False, default=True)
     has_lights_mat: bool = struct.field(pytree_node=False, default=True)
     # Diffuse sampling strategy: "mis" is the book-3 final form (cosine pdf
-    # mixed with the lights list); the other four are the reference's
-    # preserved historical strategies (material.h:83-107 #if 0 blocks):
-    # "unit_sphere", "unit_vector", "hemisphere", "onb".
+    # mixed with the lights list); the others are the reference's preserved
+    # history — the lambertian #if 0 blocks (material.h:83-107):
+    # "unit_sphere", "unit_vector", "hemisphere", "onb" — plus the
+    # integrator-staging block (RayTracingWeekend.cpp:66-107):
+    # "light_only" (hittable_pdf alone, direct light without the mixture).
     lambertian_strategy: str = struct.field(pytree_node=False, default="mis")
     # True when the packed shading rows (ops/packing.py) cannot express the
     # texture graph (a checker with procedural children) and shading must use

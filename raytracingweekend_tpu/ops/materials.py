@@ -143,6 +143,15 @@ def shade(key, d_in, hit: Hit, scene: st.Scene) -> ShadeResult:
         # cosine pdf about the normal, no light mixture (material.h:101-107)
         mix_dir = pdfs.cosine_pdf_sample(k_mix, hit.normal)
         pdf_val = pdfs.cosine_pdf_value(hit.normal, mix_dir)
+    elif strategy == "light_only":
+        # the book-3 ch.10 integrator stage preserved in the reference's
+        # #if 0 history (RayTracingWeekend.cpp:66-107): sample the lights
+        # list ALONE — hittable_pdf without the cosine mixture. Noise-free
+        # direct light, black indirect (pdf 0 off-light directions), the
+        # stepping stone the final mixture_pdf stage fixes.
+        assert scene.lights.num > 0, "light_only needs a lights list"
+        mix_dir = pdfs.lights_sample(k_mix, hit.p, scene)
+        pdf_val = pdfs.lights_pdf_value(hit.p, mix_dir, scene)
     else:  # pragma: no cover
         raise ValueError(f"unknown lambertian_strategy {strategy!r}")
     cosine = linalg.dot(hit.normal, linalg.normalize(mix_dir))

@@ -358,7 +358,10 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             light_ref, med_ref, nperm_ref, nrvh_ref, nrvl_ref, img_ref,
             seed_ref, out_ref, *scratch, cfg):
     """One tile: T per-pixel slots, each tracing cfg.spp full paths."""
-    af_ref = tc_ref = None
+    af_ref = tc_ref = vote_ref = None
+    scratch = list(scratch)
+    if cfg.batch_votes:
+        vote_ref = scratch.pop(0)
     if cfg.fe:
         af_ref, sf_ref = scratch
     elif cfg.idx_extract:
@@ -497,31 +500,64 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         # "quad" phase stub (tools/mega_phase.py): drop the whole sphere
         # sweep so its per-iteration cost shows up as a timing delta.
         run_spheres = cfg.has_spheres and "quad" not in cfg.stub
-        for c in range(C if run_spheres else 0):
-            if cfg.cull:
-                tx0 = (clus_ref[c, K_MINX] - ox) * idx_
-                tx1 = (clus_ref[c, K_MAXX] - ox) * idx_
-                ty0 = (clus_ref[c, K_MINY] - oy) * idy_
-                ty1 = (clus_ref[c, K_MAXY] - oy) * idy_
-                tz0 = (clus_ref[c, K_MINZ] - oz) * idz_
-                tz1 = (clus_ref[c, K_MAXZ] - oz) * idz_
-                tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                              jnp.minimum(ty0, ty1)),
-                                  jnp.maximum(jnp.minimum(tz0, tz1), t_min))
-                thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                              jnp.maximum(ty0, ty1)),
-                                  jnp.maximum(tz0, tz1))
-                # Running-best gate: a cluster whose slab ENTRY is behind
-                # the closest hit already found (by earlier, importance-
-                # ordered clusters) cannot produce the winner — skip it per
-                # lane. The tile-coherent analogue of ordered BVH
-                # traversal. tlo is scaled down a few ulps so slab-chain
-                # rounding can never skip a cluster whose true hit ties the
-                # running best within float noise (tlo >= t_min > 0, so the
-                # scale is direction-safe).
-                amask = ((tlo <= thi)
-                         & (tlo * (1.0 - 2.4e-7)
-                            < sf_ref[R_BEST:R_BEST + 1, :]) & active)
+        if cfg.batch_votes and run_spheres and cfg.cull:
+            # ---- batched cluster votes: ALL slab tests as one (C, T)
+            # vectorized block + ONE cross-lane reduce, then scalar reads
+            # per cluster. The interleaved reduce->scalar->branch chain of
+            # the per-cluster vote serializes the pipeline (~27% of the
+            # 3.6k-sphere iteration); batching trades the running-best
+            # tightening (votes here are geometric-only, against t_min)
+            # for reduce pipelining. The per-lane min-merge inside the
+            # blocks is unchanged, so radiance is exact either way. ----
+            bminx = clus_ref[:, K_MINX:K_MINX + 1]
+            bmaxx = clus_ref[:, K_MAXX:K_MAXX + 1]
+            bminy = clus_ref[:, K_MINY:K_MINY + 1]
+            bmaxy = clus_ref[:, K_MAXY:K_MAXY + 1]
+            bminz = clus_ref[:, K_MINZ:K_MINZ + 1]
+            bmaxz = clus_ref[:, K_MAXZ:K_MAXZ + 1]
+            btx0 = (bminx - ox) * idx_
+            btx1 = (bmaxx - ox) * idx_
+            bty0 = (bminy - oy) * idy_
+            bty1 = (bmaxy - oy) * idy_
+            btz0 = (bminz - oz) * idz_
+            btz1 = (bmaxz - oz) * idz_
+            btlo = jnp.maximum(jnp.maximum(jnp.minimum(btx0, btx1),
+                                           jnp.minimum(bty0, bty1)),
+                               jnp.maximum(jnp.minimum(btz0, btz1), t_min))
+            bthi = jnp.minimum(jnp.minimum(jnp.maximum(btx0, btx1),
+                                           jnp.maximum(bty0, bty1)),
+                               jnp.maximum(btz0, btz1))
+            bamask = (btlo <= bthi) & active
+            vote_ref[:, 0:1] = jnp.any(bamask, axis=1,
+                                       keepdims=True).astype(jnp.float32)
+        def slab_mask(row):
+            """(1, T) per-lane pass mask for AABB table row `row` (cluster
+            or super-cluster union) against t_min AND the running best: a
+            box whose slab ENTRY is behind the closest hit already found
+            cannot produce the winner — the tile-coherent analogue of
+            ordered BVH traversal. tlo is scaled down a few ulps so
+            slab-chain rounding can never skip a box whose true hit ties
+            the running best within float noise (tlo >= t_min > 0, so the
+            scale is direction-safe)."""
+            tx0 = (clus_ref[row, K_MINX] - ox) * idx_
+            tx1 = (clus_ref[row, K_MAXX] - ox) * idx_
+            ty0 = (clus_ref[row, K_MINY] - oy) * idy_
+            ty1 = (clus_ref[row, K_MAXY] - oy) * idy_
+            tz0 = (clus_ref[row, K_MINZ] - oz) * idz_
+            tz1 = (clus_ref[row, K_MAXZ] - oz) * idz_
+            tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                          jnp.minimum(ty0, ty1)),
+                              jnp.maximum(jnp.minimum(tz0, tz1), t_min))
+            thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1))
+            return ((tlo <= thi)
+                    & (tlo * (1.0 - 2.4e-7)
+                       < sf_ref[R_BEST:R_BEST + 1, :]) & active)
+
+        def sweep_cluster(c):
+            if cfg.cull and not cfg.batch_votes:
+                amask = slab_mask(c)
             # Static clusters/axes skip their motion FMAs: clus_moving is a
             # per-cluster (x, y, z) any-moving triple, so e.g. book-1's
             # y-only motion blur pays 2 (SB, T) FMAs per chunk, not 6.
@@ -660,7 +696,10 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     # still bounds the (SB, W) register intermediates.
                     blk()
                     continue
-                vote = jnp.any(amask[:, sl] if NCH > 1 else amask)
+                if cfg.batch_votes:
+                    vote = vote_ref[c, 0] > 0.0
+                else:
+                    vote = jnp.any(amask[:, sl] if NCH > 1 else amask)
                 pl.when(vote)(blk)
 
                 if tc_ref is not None:
@@ -671,6 +710,25 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                         # previous bounce would collide at ~2^-23 per pair.
                         tc_ref[lo:lo + SB, sl] = jnp.full((SB, W), BIG,
                                                           jnp.float32)
+
+        if cfg.sg and run_spheres:
+            # ---- two-level vote: ONE super-cluster slab test (union AABB
+            # of cfg.sg Morton-consecutive clusters, rows [C:C+Cg] of the
+            # table) gates the whole group's member votes + blocks. Exact:
+            # any sphere's hit lies inside its cluster AABB, which lies
+            # inside the super union. Requires fused/idx extraction (no
+            # candidate scratch rows to BIG-fill on a group skip). ----
+            for g0 in range(0, C, cfg.sg):
+                smask = slab_mask(C + g0 // cfg.sg)
+
+                def grp(g0=g0):
+                    for c in range(g0, min(g0 + cfg.sg, C)):
+                        sweep_cluster(c)
+
+                pl.when(jnp.any(smask))(grp)
+        else:
+            for c in range(C if run_spheres else 0):
+                sweep_cluster(c)
 
         if cfg.has_spheres:
             # The per-block mins folded into R_BEST ARE the global min:
@@ -1615,7 +1673,7 @@ def _morton_order(centers: np.ndarray) -> np.ndarray:
 _TABLE_CACHE: dict = {}
 
 
-def build_tables_cached(scene: st.Scene, SB: int):
+def build_tables_cached(scene: st.Scene, SB: int, sg: int = 0):
     """Per-scene-object memo of build_tables: the eager packing pulls the
     sphere SoA to the host (device->host round-trips cost ~28 ms each
     through a remote tunnel), which would otherwise tax every launch.
@@ -1628,22 +1686,25 @@ def build_tables_cached(scene: st.Scene, SB: int):
     entry = _TABLE_CACHE.get(key)
     if entry is not None and entry[0]() is scene:
         per = entry[1]
-        if SB not in per:
-            per[SB] = build_tables(scene, SB)
-        return per[SB]
-    tables = build_tables(scene, SB)
+        if (SB, sg) not in per:
+            per[(SB, sg)] = build_tables(scene, SB, sg)
+        return per[(SB, sg)]
+    tables = build_tables(scene, SB, sg)
     try:
         ref = weakref.ref(scene, lambda _: _TABLE_CACHE.pop(key, None))
     except TypeError:  # no weakref support: don't cache
         return tables
-    _TABLE_CACHE[key] = (ref, {SB: tables})
+    _TABLE_CACHE[key] = (ref, {(SB, sg): tables})
     return tables
 
 
-def build_tables(scene: st.Scene, SB: int = 64):
+def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0):
     """Host-side (eager) packing: Morton-sorted sphere tables + cluster
     AABBs + camera vector. Returns (sph_tab (S,128), attr_tab (16,S),
-    clus_tab (C,128), cam_vec (1,128), meta dict)."""
+    clus_tab (C,128), cam_vec (1,128), meta dict). sg > 0 appends
+    super-cluster AABB rows (unions of sg consecutive clusters, grouped in
+    MORTON order — spatial locality makes the unions tight) after the C
+    cluster rows for the kernel's two-level vote."""
     sph = scene.spheres
     act = np.asarray(sph.active)
     c0 = np.asarray(sph.center0, np.float32)
@@ -1680,7 +1741,10 @@ def build_tables(scene: st.Scene, SB: int = 64):
     # long Morton-sorted tail of small spheres follows.
     idx_ext = np.full((S,), -1, np.int64)
     idx_ext[:n] = order
-    if C > 1:
+    if C > 1 and not sg:
+        # (two-level mode keeps pure Morton cluster order instead: the
+        # super unions must be spatially tight, which biggest-radius-first
+        # reordering destroys)
         blocks = idx_ext.reshape(C, SB)
         key_r = np.array([np.abs(rad[b[b >= 0]]).max() if (b >= 0).any()
                           else -1.0 for b in blocks])
@@ -1782,6 +1846,16 @@ def build_tables(scene: st.Scene, SB: int = 64):
         sl = slice(c * SB, (c + 1) * SB)
         clus_tab[c, K_MINX:K_MINZ + 1] = los[sl].min(axis=0)
         clus_tab[c, K_MAXX:K_MAXZ + 1] = his[sl].max(axis=0)
+    Cg = 0
+    sg_eff = sg if (sg and C > 1) else 0
+    if sg_eff:
+        Cg = -(-C // sg_eff)
+        sup = np.zeros((Cg, CLUS_LANES), np.float32)
+        for g in range(Cg):
+            rows = clus_tab[g * sg_eff:(g + 1) * sg_eff]
+            sup[g, K_MINX:K_MINZ + 1] = rows[:, K_MINX:K_MINZ + 1].min(0)
+            sup[g, K_MAXX:K_MAXZ + 1] = rows[:, K_MAXX:K_MAXZ + 1].max(0)
+        clus_tab = np.concatenate([clus_tab, sup], axis=0)
 
     # ---- rect table + static per-rect axis/transform metadata ----
     mt_np = np.asarray(mats.mtype)
@@ -1978,7 +2052,7 @@ def build_tables(scene: st.Scene, SB: int = 64):
     idta = idt[actm]
     uniform_time = bool(n and np.all(t0a == t0a[0])
                         and np.all(idta == idta[0]))
-    meta = dict(S=S, C=C, SB=SB,
+    meta = dict(S=S, C=C, SB=SB, sg=sg_eff, Cg=Cg,
                 uniform_time=uniform_time,
                 ut_t0=float(t0a[0]) if n else 0.0,
                 ut_idt=float(idta[0]) if n else 0.0,
@@ -2037,7 +2111,7 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((A_ROWS, S), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.C, CLUS_LANES), lambda i: (0, 0),
+            pl.BlockSpec((cfg.C + cfg.Cg, CLUS_LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(cfg.R, 1), RECT_LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -2063,9 +2137,11 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, 8 + (cfg.n_iters if cfg.tape else 0), T), jnp.float32),
         scratch_shapes=(
-            ([pltpu.VMEM((A_ROWS, T), jnp.float32)] if cfg.fe
-             else [] if cfg.idx_extract
-             else [pltpu.VMEM((S, T), jnp.float32)])
+            ([pltpu.VMEM((cfg.C, CLUS_LANES), jnp.float32)]
+             if cfg.batch_votes else [])
+            + ([pltpu.VMEM((A_ROWS, T), jnp.float32)] if cfg.fe
+               else [] if cfg.idx_extract
+               else [pltpu.VMEM((S, T), jnp.float32)])
             + [pltpu.VMEM((STATE_ROWS, T), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
@@ -2112,7 +2188,9 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
               chunks: int = 1, idx_extract: bool = False,
               cull: bool | None = None, extract_block: int | None = None,
               fuse_extract: int | None = None, tape: bool = False,
-              phase_stub: tuple = (), unroll: int | None = None):
+              phase_stub: tuple = (), unroll: int | None = None,
+              batch_votes: bool | None = None,
+              super_group: int = 0):
     """Host-side launch plan: packed tables + static kernel cfg for
     _mega_call at this geometry. Shared by trace_mega and the sharded
     multi-chip entry (parallel.mesh.render_sharded_mega, which passes the
@@ -2148,7 +2226,10 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
     # fe could apply — padding rows are inert (r2 = -1 never hits).
     if fe_will_apply and SB >= 128:
         SB = -(-SB // 128) * 128
-    tabs = build_tables_cached(scene, SB)
+    if super_group:
+        # the group-skip path has no candidate scratch to BIG-fill
+        assert fe_will_apply, "super_group requires fused extraction"
+    tabs = build_tables_cached(scene, SB, super_group)
     meta = tabs[-1]
     # Keep the candidate-t scratch (S, T) within a conservative VMEM slice
     # for big sphere tables (T=4096-class shapes measurably spill).
@@ -2211,8 +2292,13 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
         # book-1 scene measured 144 M seg/s dense vs 86-136 M culled);
         # multi-cluster scenes keep the running-best slab gate.
         cull = meta["C"] > 1
+    if batch_votes is None:
+        batch_votes = False  # interleaved votes measured faster (PERF.md)
+    if batch_votes:
+        chunks = 1  # batched votes are whole-tile
     if not cull:
         chunks = 1  # chunks only subdivide votes
+        batch_votes = False
     # every vote chunk must be a whole number of 128-lane registers
     chunks = max(1, min(chunks, T // 128))
     while chunks > 1 and (T % chunks or (T // chunks) % 128):
@@ -2221,6 +2307,7 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
                spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,
                chunks=chunks, idx_extract=idx_extract, cull=cull, eb=eb,
                fe=fe, tape=tape, stub=tuple(phase_stub),
+               batch_votes=batch_votes, sg=meta["sg"], Cg=meta["Cg"],
                # Measured auto (docs/PERF.md): amortizing the while-loop's
                # cross-lane any() + scalar branch over 8 bounce iterations
                # is worth +41% on cornell-class scenes (647 -> 912 M seg/s,
@@ -2267,7 +2354,8 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                fuse_extract: int | None = None,
                interpret: bool = False,
                return_stats: bool = False,
-               phase_stub: tuple = (), unroll: int | None = None):
+               phase_stub: tuple = (), unroll: int | None = None,
+               batch_votes: bool | None = None, super_group: int = 0):
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
     segment count). Host-side prep is eager (concrete scene required).
 
@@ -2281,13 +2369,20 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     samples of their own pixel (overdraw load balancing — was 30% idle
     lane-cycles); the returned sums are renormalized to spp-equivalent by
     the actual per-pixel counts, so callers divide by spp as usual."""
+    if unroll is None and interpret:
+        # auto-unroll exists to amortize the REAL chip's while-condition
+        # cost; the interpreter executes every unrolled overshoot
+        # iteration, making CPU tests up to 8x slower for nothing
+        unroll = 1
     tabs, cfg, T, k = make_plan(scene, nx, ny, spp, max_depth=max_depth,
                                 rr_depth=rr_depth, T=T, SB=SB,
                                 slots_per_pixel=slots_per_pixel,
                                 chunks=chunks, idx_extract=idx_extract,
                                 cull=cull, extract_block=extract_block,
                                 fuse_extract=fuse_extract,
-                                phase_stub=phase_stub, unroll=unroll)
+                                phase_stub=phase_stub, unroll=unroll,
+                                batch_votes=batch_votes,
+                                super_group=super_group)
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
      cam_vec, meta) = tabs
     pixf, inv = _pixel_layout(nx, ny, T, k)

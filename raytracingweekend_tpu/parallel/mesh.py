@@ -127,7 +127,10 @@ def render_sharded_mega(scene: st.Scene, mesh: Mesh, key, nx: int, ny: int,
     tabs, cfg, T, _k = mk.make_plan(scene, nx, ny, spp_shard,
                                     max_depth=max_depth, T=T, SB=SB,
                                     chunks=chunks, idx_extract=idx_extract,
-                                    cull=cull, extract_block=extract_block)
+                                    cull=cull, extract_block=extract_block,
+                                    # interpret executes unrolled overshoot
+                                    # iterations for real (see trace_mega)
+                                    unroll=1 if interpret else None)
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
      cam_vec, _meta) = tabs
     pixf, inv = mk._pixel_layout(nx, rows, T)

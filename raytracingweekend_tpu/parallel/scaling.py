@@ -29,32 +29,42 @@ def _sync(out) -> float:
 
 def dp_scaling_report(scene, nx: int, ny: int, spp: int,
                       dps=(1, 2, 4, 8), sp: int = 1, max_depth: int = 8,
-                      key=None, repeats: int = 1):
-    """Returns a list of dicts: {dp, seconds, samples_per_s,
-    samples_per_s_per_device, efficiency_vs_dp1}."""
+                      key=None, repeats: int = 1, path: str = "wavefront",
+                      T: int | None = None):
+    """Returns a list of dicts: {path, dp, seconds, samples_per_s,
+    samples_per_s_per_device, efficiency_vs_dp1}. path selects the
+    renderer under the mesh: "wavefront" (render_sharded) or "mega"
+    (render_sharded_mega — the flagship kernel, interpreted on CPU
+    meshes, compiled on real chips)."""
+    from .mesh import render_sharded_mega
+
     key = jax.random.key(0) if key is None else key
     n_dev = len(jax.devices())
     rows = []
     base = None
+
+    def run(mesh, k):
+        if path == "mega":
+            return render_sharded_mega(scene, mesh, k, nx, ny, spp,
+                                       max_depth=max_depth, T=T)
+        return render_sharded(scene, mesh, k, nx, ny, spp,
+                              max_depth=max_depth)
+
     for dp in dps:
         if dp * sp > n_dev or ny % dp:
             continue
         mesh = make_mesh(dp, sp, jax.devices()[: dp * sp])
-        out = render_sharded(scene, mesh, key, nx, ny, spp,
-                             max_depth=max_depth)
-        _sync(out)  # warmup/compile
+        _sync(run(mesh, key))  # warmup/compile
         t0 = time.perf_counter()
         for r in range(repeats):
-            out = render_sharded(scene, mesh,
-                                 jax.random.fold_in(key, r + 1),
-                                 nx, ny, spp, max_depth=max_depth)
-            _sync(out)
+            _sync(run(mesh, jax.random.fold_in(key, r + 1)))
         dt = (time.perf_counter() - t0) / repeats
         sps = nx * ny * spp / dt
         per_dev = sps / (dp * sp)
         if base is None:
             base = per_dev
-        rows.append(dict(dp=dp, sp=sp, seconds=dt, samples_per_s=sps,
+        rows.append(dict(path=path, dp=dp, sp=sp, seconds=dt,
+                         samples_per_s=sps,
                          samples_per_s_per_device=per_dev,
                          efficiency_vs_dp1=per_dev / base))
     return rows

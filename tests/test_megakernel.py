@@ -121,6 +121,26 @@ def test_fused_extract_is_bitwise_exact():
         assert float(sa) == float(sb_), name
 
 
+def test_unroll_overshoot_is_statistically_neutral():
+    """cfg.unroll > 1 runs bounce iterations in groups between while-loop
+    checks; the overshoot past all-lanes-done adds EXTRA overdraw samples
+    that the epilogue renormalizes away. Same RNG stream per iteration, so
+    segments can only grow and the pixel means stay estimates of the same
+    radiance (auto-unroll is 1 under the interpreter for test speed; this
+    covers the >1 path the chip runs)."""
+    scene = make_scene("dielectric", 1.0)
+    a, sa = mk.trace_mega(KEY, scene, 16, 16, 16, max_depth=8, T=128,
+                          SB=32, interpret=True, unroll=1)
+    b, sb_ = mk.trace_mega(KEY, scene, 16, 16, 16, max_depth=8, T=128,
+                           SB=32, interpret=True, unroll=4)
+    assert float(sb_) >= float(sa)
+    am = np.asarray(a) / 16
+    bm = np.asarray(b) / 16
+    assert np.isfinite(bm).all()
+    assert abs(am.mean() - bm.mean()) < 0.03
+    assert np.abs(_blocks(am) - _blocks(bm)).max() < 0.2
+
+
 def test_slots_per_pixel_agrees():
     scene = make_scene("dielectric", 1.0)
     a, _ = mk.trace_mega(KEY, scene, 16, 16, 8, max_depth=8, T=128, SB=32,

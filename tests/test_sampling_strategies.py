@@ -38,6 +38,29 @@ def test_strategies_agree_with_mis(strategy):
     assert not np.allclose(img, ref)
 
 
+def test_light_only_stage():
+    """The book-3 ch.10 integrator stage (the reference's #if 0 history,
+    RayTracingWeekend.cpp:66-107): sampling the lights list ALONE renders
+    direct lighting with low variance but drops indirect paths entirely
+    (off-light directions have pdf 0) — the deliberate bias the final
+    mixture stage repairs. Assert exactly that signature."""
+    from raytracingweekend_tpu.models.scenes import make_scene
+
+    nx = ny = 16
+    spp = 96
+    base = make_scene("cornell_box", 1.0)
+    mis = np.asarray(render_chunk(base, KEY, nx, ny, spp, 10)) / spp
+    lo = np.asarray(render_chunk(
+        base.replace(lambertian_strategy="light_only"), KEY, nx, ny, spp,
+        10)) / spp
+    assert np.isfinite(lo).all()
+    # direct light is present...
+    assert lo.mean() > 0.15 * mis.mean()
+    # ...but total radiance is strictly below the full-transport estimate
+    # (indirect bounces are unreachable with the light-only pdf)
+    assert lo.mean() < mis.mean()
+
+
 def test_estimate_pi_forever_converges():
     ests, pi = estimate_pi_forever(jax.random.key(1), chunk=50_000, steps=6)
     assert len(ests) == 6

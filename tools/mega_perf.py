@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--fe", type=int, default=-1,
                     help="fused-extraction sub-block rows (-1 = auto, "
                          "0 = off)")
+    ap.add_argument("--bv", type=int, default=-1,
+                    help="batched cluster votes (1/0, -1 = auto)")
+    ap.add_argument("--sg", type=int, default=0,
+                    help="super-cluster group size (0 = off)")
     ap.add_argument("--stats", action="store_true",
                     help="also report utilization and cull-survival rate")
     args = ap.parse_args()
@@ -58,6 +62,9 @@ def main():
                              cull=None if args.cull < 0 else bool(args.cull),
                              extract_block=args.eb or None,
                              fuse_extract=None if args.fe < 0 else args.fe,
+                             batch_votes=(None if args.bv < 0
+                                          else bool(args.bv)),
+                             super_group=args.sg,
                              return_stats=True)
 
     key = jax.random.key(0)

@@ -17,7 +17,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
-STRATEGIES = ("unit_sphere", "unit_vector", "hemisphere", "onb", "mis")
+STRATEGIES = ("unit_sphere", "unit_vector", "hemisphere", "onb",
+              "light_only", "mis")
 
 
 def main():
