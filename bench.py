@@ -36,7 +36,8 @@ from raytracingweekend_tpu.render import render_chunk_tiled
 NX, NY = 1200, 800
 MAX_DEPTH = 50
 SPP_PER_LAUNCH = 64
-TIMED_LAUNCHES = 2
+TIMED_LAUNCHES = 4  # ~4.4 s each at current throughput; multi-scene
+# coverage with spread lives in tools/bench_all.py -> docs/bench_r03.jsonl
 BASELINE_RAYS_PER_S = 1.0e9
 
 

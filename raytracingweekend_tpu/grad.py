@@ -18,6 +18,14 @@ gradient descent on scene parameters). Design (SURVEY.md §7 step 7):
 Scene parameters live in the Scene pytree, so `jax.grad` w.r.t. any subset
 (texture colors, emission, fuzz, refractive index, sphere centers/radii)
 works through `render_diff` via standard pytree surgery.
+
+The megakernel-backed counterparts (gradients THROUGH the production
+Pallas forward via a per-bounce winner tape + one-hot-extraction XLA
+replay — no O(S) scan anywhere in the backward) live in
+`ops/mega_grad.py` and are re-exported here: `render_diff_mega`,
+`fit_scene_params_mega`. Prefer them for big sphere tables; the wavefront
+estimator here stays the reference implementation and the small-scene
+fallback (on-chip timings: docs/grad_bench_r03.jsonl).
 """
 from __future__ import annotations
 
@@ -32,6 +40,8 @@ from .models import scene_types as st
 from .ops import camera as camera_mod
 from .ops import sampling
 from .ops.integrator import trace
+from .ops.mega_grad import (  # noqa: F401  (re-exported public surface)
+    fit_scene_params_mega, render_diff_mega)
 
 
 @partial(jax.jit, static_argnames=("nx", "ny", "spp", "max_depth"))

@@ -69,26 +69,47 @@ def plan_tape(scene: st.Scene, nx: int, ny: int, spp: int,
                 nx=nx, ny=ny, spp=spp, max_depth=max_depth)
 
 
-def tape_forward(key, ctx, interpret: bool = False):
-    """Run the megakernel in tape mode. Returns (image, tape, seed):
-    image is the spp-averaged (ny, nx, 3) canvas, tape the (n_tiles,
-    n_iters, T) winner codes, seed the (1, 1) int32 the replay reuses."""
-    cfg = ctx["cfg"]
-    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
-     cam_vec, _meta) = ctx["tabs"]
-    n_tiles = ctx["n_tiles"]
-    T = ctx["T"]
+@partial(jax.jit, static_argnames=("cfg", "n_tiles", "T", "ny", "nx",
+                                   "spp", "interpret"))
+def _tape_call(pixf, inv, tabs12, key, *, cfg, n_tiles, T, ny, nx, spp,
+               interpret):
+    """One jit for the kernel launch + epilogue slicing (each eager op
+    outside jit pays a full tunnel dispatch round-trip)."""
+    (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab,
+     img_tab, cam_vec) = tabs12
     seed = jax.random.randint(key, (1, 1), 0, np.int32(2 ** 31 - 1),
                               dtype=jnp.int32)
-    out = mk._mega_call(ctx["pixf"], cam_vec, sph_tab, attr_tab, clus_tab,
+    out = mk._mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab,
                         rect_tab, light_tab, med_tab,
                         jnp.asarray(mk._PERM_B), jnp.asarray(mk._RV_HI),
                         jnp.asarray(mk._RV_LO), img_tab, seed,
                         cfg=cfg, n_tiles=n_tiles, interpret=interpret)
     sums = out[:, 0:3, :].transpose(0, 2, 1).reshape(n_tiles * T, 3)
-    image = sums[ctx["inv"]].reshape(ctx["ny"], ctx["nx"], 3) / ctx["spp"]
+    image = sums[inv].reshape(ny, nx, 3) / spp
     tape = out[:, 8:, :]  # (n_tiles, n_iters, T)
+    # scalar checksum so callers can force device completion with ONE
+    # host transfer (block_until_ready is a no-op through the tunnel)
+    return image, tape, seed, jnp.sum(image)
+
+
+def tape_forward(key, ctx, interpret: bool = False):
+    """Run the megakernel in tape mode. Returns (image, tape, seed):
+    image is the spp-averaged (ny, nx, 3) canvas, tape the (n_tiles,
+    n_iters, T) winner codes, seed the (1, 1) int32 the replay reuses."""
+    image, tape, seed, _ = _tape_call(
+        ctx["pixf"], ctx["inv"], tuple(ctx["tabs"][:8]), key,
+        cfg=ctx["cfg"], n_tiles=ctx["n_tiles"], T=ctx["T"],
+        ny=ctx["ny"], nx=ctx["nx"], spp=ctx["spp"], interpret=interpret)
     return image, tape, seed
+
+
+def tape_forward_sync(key, ctx, interpret: bool = False):
+    """tape_forward variant returning (image, tape, seed, checksum) for
+    one-transfer syncs in benchmarks."""
+    return _tape_call(ctx["pixf"], ctx["inv"], tuple(ctx["tabs"][:8]), key,
+                      cfg=ctx["cfg"], n_tiles=ctx["n_tiles"], T=ctx["T"],
+                      ny=ctx["ny"], nx=ctx["nx"], spp=ctx["spp"],
+                      interpret=interpret)
 
 
 def make_replay(ctx):
@@ -128,6 +149,58 @@ def make_replay(ctx):
     def safe(pred, x, alt=1.0):
         return jnp.where(pred, x, alt)
 
+    M_ = n_tiles * T
+
+    def pack(d):
+        """Stack a dict of (K,) rows into a (P, K) matrix + name index."""
+        names = list(d)
+        return (jnp.stack([jnp.asarray(d[n], jnp.float32) for n in names],
+                          axis=0),
+                {n: i for i, n in enumerate(names)})
+
+    def extract(matx, idx_dict, idx):
+        """One-hot MXU extraction of matx's columns at per-lane indices —
+        the replay-side twin of the kernel's fused extraction. Gathers
+        measure ~3.6 ms per million elements on this chip (CLAUDE.md) and
+        the scan runs hundreds of steps, so per-step jnp.take was the
+        whole replay cost (595 of 669 ms at 128x128x32); one (P, K)@(K, M)
+        dot per winner class replaces ~25 of them, and its transpose (the
+        backward) is a matmul instead of a scatter-add. HIGHEST precision
+        = 6-pass bf16 = bit-exact for a one-hot RHS (3 bf16 terms span the
+        full f32 mantissa)."""
+        K = matx.shape[1]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (K, M_), 0)
+              == idx.reshape(1, M_)).astype(jnp.float32)
+        out = jax.lax.dot_general(
+            matx, oh, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        out = out.reshape(matx.shape[0], n_tiles, T)
+        return lambda name: out[idx_dict[name]]
+
+    def _mat_rows(mats, tex, mi):
+        """Per-primitive material/texture rows (the traced analogue of
+        build_tables' attribute baking), gathered ONCE per replay call."""
+        ti = mats.tex[mi]
+        col = tex.color[ti]
+        tt = tex.ttype[ti]
+        evc = tex.color[tex.even[ti]]
+        odc = tex.color[tex.odd[ti]]
+        return dict(
+            mt=mats.mtype[mi].astype(jnp.float32),
+            albx=col[:, 0], alby=col[:, 1], albz=col[:, 2],
+            fz=mats.fuzz[mi], ri=mats.ref_idx[mi],
+            noi=jnp.where(tt == st.TEX_NOISE,
+                          1.0 + tex.noise_mode[ti].astype(jnp.float32),
+                          0.0),
+            nsc=tex.scale[ti],
+            chk=(tt == st.TEX_CHECKER).astype(jnp.float32),
+            evx=evc[:, 0], evy=evc[:, 1], evz=evc[:, 2],
+            odx=odc[:, 0], ody=odc[:, 1], odz=odc[:, 2],
+            img=jnp.where(tt == st.TEX_IMAGE,
+                          1.0 + tex.image_id[ti].astype(jnp.float32),
+                          0.0))
+
     def replay(scene: st.Scene, tape, seed_arr):
         seed = seed_arr[0, 0]
         cam = scene.camera
@@ -143,6 +216,52 @@ def make_replay(ctx):
         c_v = cam.vertical
         c_u = cam.u
         c_vv = cam.v
+
+        # ---- packed per-class attribute matrices (differentiable; the
+        # table gathers run ONCE here, never inside the scan) ----
+        if meta["has_spheres"]:
+            c0s = sph.center0[slot_to_orig]
+            c1s = sph.center1[slot_to_orig]
+            t0s = sph.time0[slot_to_orig]
+            t1s = sph.time1[slot_to_orig]
+            dts = t1s - t0s
+            ds = dict(cx=c0s[:, 0], cy=c0s[:, 1], cz=c0s[:, 2],
+                      dcx=c1s[:, 0] - c0s[:, 0],
+                      dcy=c1s[:, 1] - c0s[:, 1],
+                      dcz=c1s[:, 2] - c0s[:, 2],
+                      t0=t0s,
+                      idt=jnp.where(dts != 0.0,
+                                    1.0 / jnp.where(dts != 0.0, dts, 1.0),
+                                    0.0),
+                      rad=sph.radius[slot_to_orig])
+            ds.update(_mat_rows(mats, tex, sph.mat[slot_to_orig]))
+            sph_m, SIx = pack(ds)
+        if R:
+            roff_r = rects.offset[rect_map]
+            dr = dict(a0=rects.a0[rect_map], a1=rects.a1[rect_map],
+                      b0=rects.b0[rect_map], b1=rects.b1[rect_map],
+                      k=rects.k[rect_map],
+                      cth=rects.cos_t[rect_map],
+                      sth=rects.sin_t[rect_map],
+                      offx=roff_r[:, 0], offy=roff_r[:, 1],
+                      offz=roff_r[:, 2],
+                      ax=rects.axis[rect_map].astype(jnp.float32),
+                      fl=rects.flip[rect_map])
+            dr.update(_mat_rows(mats, tex, rects.mat[rect_map]))
+            rect_m, RIx = pack(dr)
+        if V:
+            mp0 = media.p0[med_map]
+            mp1 = media.p1[med_map]
+            moff_v = media.offset[med_map]
+            dv = dict(kind=media.kind[med_map].astype(jnp.float32),
+                      p0x=mp0[:, 0], p0y=mp0[:, 1], p0z=mp0[:, 2],
+                      p1x=mp1[:, 0], p1y=mp1[:, 1], p1z=mp1[:, 2],
+                      cth=media.cos_t[med_map], sth=media.sin_t[med_map],
+                      offx=moff_v[:, 0], offy=moff_v[:, 1],
+                      offz=moff_v[:, 2],
+                      rho=media.density[med_map])
+            dv.update(_mat_rows(mats, tex, media.mat[med_map]))
+            med_m, VIx = pack(dv)
 
         def gen_rays(it):
             u = uni(8, 1, seed, it)
@@ -167,9 +286,6 @@ def make_replay(ctx):
             dz = c_ll[2] + s * c_h[2] + t * c_v[2] - oz
             inv_n = lax.rsqrt(dx * dx + dy * dy + dz * dz)
             return ox, oy, oz, dx * inv_n, dy * inv_n, dz * inv_n, time
-
-        def g1(arr, idx):
-            return jnp.take(arr, idx, axis=0)
 
         def step(state, xs):
             it, w = xs
@@ -197,48 +313,21 @@ def make_replay(ctx):
             odx_v = ody_v = odz_v = zero
             img_v = zero
 
-            def mat_attrs(mi, sel):
-                """Common material/texture rows for winner lanes sel."""
-                mt = g1(mats.mtype, mi).astype(jnp.float32)
-                ti = g1(mats.tex, mi)
-                col = g1(tex.color, ti)
-                fz = g1(mats.fuzz, mi)
-                ri = g1(mats.ref_idx, mi)
-                tt = g1(tex.ttype, ti)
-                noi = jnp.where(tt == st.TEX_NOISE,
-                                1.0 + g1(tex.noise_mode, ti)
-                                .astype(jnp.float32), 0.0)
-                nsc = g1(tex.scale, ti)
-                chk = (tt == st.TEX_CHECKER).astype(jnp.float32)
-                evc = g1(tex.color, g1(tex.even, ti))
-                odc = g1(tex.color, g1(tex.odd, ti))
-                img = jnp.where(tt == st.TEX_IMAGE,
-                                1.0 + g1(tex.image_id, ti)
-                                .astype(jnp.float32), 0.0)
-                return dict(mt=mt, col=col, fz=fz, ri=ri, noi=noi, nsc=nsc,
-                            chk=chk, evc=evc, odc=odc, img=img, ti=ti)
-
             # ---- sphere winner: analytic root + normal (sphere.h:46-81,
-            # same formula as the kernel's quadratic block) ----
+            # same formula as the kernel's quadratic block); params via
+            # ONE one-hot extraction dot ----
             if meta["has_spheres"]:
                 slot = jnp.clip(wi, 0, S - 1)
-                orig = g1(slot_to_orig, slot)
-                c0 = g1(sph.center0, orig)          # (n_tiles, T, 3)
-                rad = g1(sph.radius, orig)
-                scx = c0[..., 0]
-                scy = c0[..., 1]
-                scz = c0[..., 2]
+                at_s = extract(sph_m, SIx, slot)
+                rad = at_s("rad")
+                scx = at_s("cx")
+                scy = at_s("cy")
+                scz = at_s("cz")
                 if meta["moving"]:
-                    c1 = g1(sph.center1, orig)
-                    t0 = g1(sph.time0, orig)
-                    t1 = g1(sph.time1, orig)
-                    dt = t1 - t0
-                    idt = jnp.where(dt != 0.0,
-                                    1.0 / jnp.where(dt != 0.0, dt, 1.0), 0.0)
-                    frac = (time - t0) * idt
-                    scx = scx + frac * (c1[..., 0] - c0[..., 0])
-                    scy = scy + frac * (c1[..., 1] - c0[..., 1])
-                    scz = scz + frac * (c1[..., 2] - c0[..., 2])
+                    frac = (time - at_s("t0")) * at_s("idt")
+                    scx = scx + frac * at_s("dcx")
+                    scy = scy + frac * at_s("dcy")
+                    scz = scz + frac * at_s("dcz")
                 ocx = ox - scx
                 ocy = oy - scy
                 ocz = oz - scz
@@ -250,48 +339,43 @@ def make_replay(ctx):
                 t_s = jnp.where(tn > t_min, tn, -b + sq)
                 best_t = jnp.where(is_sph, t_s, best_t)
                 rinv = 1.0 / safe(is_sph, rad)
-                mi_s = g1(sph.mat, orig)
-                at_s = mat_attrs(mi_s, is_sph)
 
             # ---- rect winner: plane root through the baked transform
             # (hittable.h:142-267; axis is data here, selects in kernel
             # are static unrolls — same arithmetic) ----
             if R:
                 ri_r = jnp.clip(wi - S, 0, max(R - 1, 0))
-                orig_r = g1(rect_map, ri_r)
-                rax = g1(rects.axis, orig_r)
-                ra0 = g1(rects.a0, orig_r)
-                ra1 = g1(rects.a1, orig_r)
-                rb0 = g1(rects.b0, orig_r)
-                rb1 = g1(rects.b1, orig_r)
-                rk = g1(rects.k, orig_r)
-                rfl = g1(rects.flip, orig_r)
-                rct = g1(rects.cos_t, orig_r)
-                rst = g1(rects.sin_t, orig_r)
-                roff = g1(rects.offset, orig_r)
-                shx = ox - roff[..., 0]
-                roy = oy - roff[..., 1]
-                shz = oz - roff[..., 2]
+                at_r = extract(rect_m, RIx, ri_r)
+                ra0 = at_r("a0")
+                ra1 = at_r("a1")
+                rb0 = at_r("b0")
+                rb1 = at_r("b1")
+                rk = at_r("k")
+                rfl = at_r("fl")
+                rct = at_r("cth")
+                rst = at_r("sth")
+                shx = ox - at_r("offx")
+                roy = oy - at_r("offy")
+                shz = oz - at_r("offz")
                 rox = rct * shx - rst * shz
                 roz = rst * shx + rct * shz
                 rdx = rct * dx - rst * dz
                 rdz = rst * dx + rct * dz
                 rdy = dy
-                is_xy = rax == st.RECT_XY
-                is_xz = rax == st.RECT_XZ
+                rax = at_r("ax")
+                is_xy = rax < 0.5
+                is_xz = (rax > 0.5) & (rax < 1.5)
                 o_n = jnp.where(is_xy, roz, jnp.where(is_xz, roy, rox))
                 d_n = jnp.where(is_xy, rdz, jnp.where(is_xz, rdy, rdx))
                 t_r = (rk - o_n) * (1.0 / safe(is_rect, d_n))
                 best_t = jnp.where(is_rect, t_r, best_t)
                 # object normal by axis * flip, rotated object->world
-                n_ox = jnp.where(rax == st.RECT_YZ, rfl, 0.0)
+                n_ox = jnp.where(rax > 1.5, rfl, 0.0)
                 n_oy = jnp.where(is_xz, rfl, 0.0)
                 n_oz = jnp.where(is_xy, rfl, 0.0)
                 rnx = rct * n_ox + rst * n_oz
                 rnz = -rst * n_ox + rct * n_oz
                 rny = n_oy
-                mi_r = g1(rects.mat, orig_r)
-                at_r = mat_attrs(mi_r, is_rect)
                 # rect planar uv (hittable.h:160-172) for image textures
                 o_a = jnp.where(is_xy | is_xz, rox, roy)
                 o_b = jnp.where(is_xy, roy, roz)
@@ -310,28 +394,25 @@ def make_replay(ctx):
             # (hittable.h:430-479) ----
             if V:
                 vi = jnp.clip(wi - S - R, 0, max(V - 1, 0))
-                orig_v = g1(med_map, vi)
-                mkind = g1(media.kind, orig_v)
-                mp0 = g1(media.p0, orig_v)
-                mp1 = g1(media.p1, orig_v)
-                mct = g1(media.cos_t, orig_v)
-                mst = g1(media.sin_t, orig_v)
-                moff = g1(media.offset, orig_v)
-                mrho = g1(media.density, orig_v)
-                vshx = ox - moff[..., 0]
-                moy = oy - moff[..., 1]
-                vshz = oz - moff[..., 2]
+                at_v = extract(med_m, VIx, vi)
+                mkind = at_v("kind")
+                mct = at_v("cth")
+                mst = at_v("sth")
+                mrho = at_v("rho")
+                vshx = ox - at_v("offx")
+                moy = oy - at_v("offy")
+                vshz = oz - at_v("offz")
                 mox = mct * vshx - mst * vshz
                 moz = mst * vshx + mct * vshz
                 mdx = mct * dx - mst * dz
                 mdz = mst * dx + mct * dz
                 mdy = dy
                 # sphere boundary
-                socx = mox - mp0[..., 0]
-                socy = moy - mp0[..., 1]
-                socz = moz - mp0[..., 2]
+                socx = mox - at_v("p0x")
+                socy = moy - at_v("p0y")
+                socz = moz - at_v("p0z")
                 bq = socx * mdx + socy * mdy + socz * mdz
-                rq = mp1[..., 0]
+                rq = at_v("p1x")
                 dq = bq * bq - (socx * socx + socy * socy + socz * socz
                                 - rq * rq)
                 sqq = jnp.sqrt(jnp.maximum(dq, 1e-30))
@@ -341,16 +422,16 @@ def make_replay(ctx):
                 ivx = 1.0 / safe(is_med, mdx)
                 ivy = 1.0 / safe(is_med, mdy)
                 ivz = 1.0 / safe(is_med, mdz)
-                tx0 = (mp0[..., 0] - mox) * ivx
-                tx1 = (mp1[..., 0] - mox) * ivx
-                ty0 = (mp0[..., 1] - moy) * ivy
-                ty1 = (mp1[..., 1] - moy) * ivy
-                tz0 = (mp0[..., 2] - moz) * ivz
-                tz1 = (mp1[..., 2] - moz) * ivz
+                tx0 = (at_v("p0x") - mox) * ivx
+                tx1 = (at_v("p1x") - mox) * ivx
+                ty0 = (at_v("p0y") - moy) * ivy
+                ty1 = (at_v("p1y") - moy) * ivy
+                tz0 = (at_v("p0z") - moz) * ivz
+                tz1 = (at_v("p1z") - moz) * ivz
                 box_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                                  jnp.minimum(ty0, ty1)),
                                      jnp.minimum(tz0, tz1))
-                m_in = jnp.where(mkind == st.MEDIUM_SPHERE, sph_in, box_in)
+                m_in = jnp.where(mkind < 0.5, sph_in, box_in)
                 m_in = jnp.maximum(m_in, t_min)
                 um = uni(V, 4, seed, it)                 # (n_tiles, V, T)
                 um_v = um[:, 0, :]
@@ -359,8 +440,6 @@ def make_replay(ctx):
                 t_m = m_in + (-1.0 / safe(is_med, mrho)) * jnp.log(
                     jnp.maximum(um_v, 1e-38))
                 best_t = jnp.where(is_med, t_m, best_t)
-                mi_v = g1(media.mat, orig_v)
-                at_v = mat_attrs(mi_v, is_med)
 
             # Miss lanes keep best_t == BIG in the kernel; every use of the
             # hit point there is masked, but 3e37-scale coordinates square
@@ -379,51 +458,51 @@ def make_replay(ctx):
                 nx_ = jnp.where(is_sph, (px_ - scx) * nrm_inv, nx_)
                 ny_ = jnp.where(is_sph, (py_ - scy) * nrm_inv, ny_)
                 nz_ = jnp.where(is_sph, (pz_ - scz) * nrm_inv, nz_)
-                mtype = jnp.where(is_sph, at_s["mt"], mtype)
-                albx = jnp.where(is_sph, at_s["col"][..., 0], albx)
-                alby = jnp.where(is_sph, at_s["col"][..., 1], alby)
-                albz = jnp.where(is_sph, at_s["col"][..., 2], albz)
-                fuzz_v = jnp.where(is_sph, at_s["fz"], fuzz_v)
-                ridx_v = jnp.where(is_sph, at_s["ri"], ridx_v)
-                nf_v = jnp.where(is_sph, at_s["noi"], nf_v)
-                nsc_v = jnp.where(is_sph, at_s["nsc"], nsc_v)
-                chk_v = jnp.where(is_sph, at_s["chk"], chk_v)
-                evx_v = jnp.where(is_sph, at_s["evc"][..., 0], evx_v)
-                evy_v = jnp.where(is_sph, at_s["evc"][..., 1], evy_v)
-                evz_v = jnp.where(is_sph, at_s["evc"][..., 2], evz_v)
-                odx_v = jnp.where(is_sph, at_s["odc"][..., 0], odx_v)
-                ody_v = jnp.where(is_sph, at_s["odc"][..., 1], ody_v)
-                odz_v = jnp.where(is_sph, at_s["odc"][..., 2], odz_v)
-                img_v = jnp.where(is_sph, at_s["img"], img_v)
+                mtype = jnp.where(is_sph, at_s("mt"), mtype)
+                albx = jnp.where(is_sph, at_s("albx"), albx)
+                alby = jnp.where(is_sph, at_s("alby"), alby)
+                albz = jnp.where(is_sph, at_s("albz"), albz)
+                fuzz_v = jnp.where(is_sph, at_s("fz"), fuzz_v)
+                ridx_v = jnp.where(is_sph, at_s("ri"), ridx_v)
+                nf_v = jnp.where(is_sph, at_s("noi"), nf_v)
+                nsc_v = jnp.where(is_sph, at_s("nsc"), nsc_v)
+                chk_v = jnp.where(is_sph, at_s("chk"), chk_v)
+                evx_v = jnp.where(is_sph, at_s("evx"), evx_v)
+                evy_v = jnp.where(is_sph, at_s("evy"), evy_v)
+                evz_v = jnp.where(is_sph, at_s("evz"), evz_v)
+                odx_v = jnp.where(is_sph, at_s("odx"), odx_v)
+                ody_v = jnp.where(is_sph, at_s("ody"), ody_v)
+                odz_v = jnp.where(is_sph, at_s("odz"), odz_v)
+                img_v = jnp.where(is_sph, at_s("img"), img_v)
             if R:
                 nx_ = jnp.where(is_rect, rnx, nx_)
                 ny_ = jnp.where(is_rect, rny, ny_)
                 nz_ = jnp.where(is_rect, rnz, nz_)
-                mtype = jnp.where(is_rect, at_r["mt"], mtype)
-                albx = jnp.where(is_rect, at_r["col"][..., 0], albx)
-                alby = jnp.where(is_rect, at_r["col"][..., 1], alby)
-                albz = jnp.where(is_rect, at_r["col"][..., 2], albz)
-                fuzz_v = jnp.where(is_rect, at_r["fz"], fuzz_v)
-                ridx_v = jnp.where(is_rect, at_r["ri"], ridx_v)
-                nf_v = jnp.where(is_rect, at_r["noi"], nf_v)
-                nsc_v = jnp.where(is_rect, at_r["nsc"], nsc_v)
-                chk_v = jnp.where(is_rect, at_r["chk"], chk_v)
-                evx_v = jnp.where(is_rect, at_r["evc"][..., 0], evx_v)
-                evy_v = jnp.where(is_rect, at_r["evc"][..., 1], evy_v)
-                evz_v = jnp.where(is_rect, at_r["evc"][..., 2], evz_v)
-                odx_v = jnp.where(is_rect, at_r["odc"][..., 0], odx_v)
-                ody_v = jnp.where(is_rect, at_r["odc"][..., 1], ody_v)
-                odz_v = jnp.where(is_rect, at_r["odc"][..., 2], odz_v)
-                img_v = jnp.where(is_rect, at_r["img"], img_v)
+                mtype = jnp.where(is_rect, at_r("mt"), mtype)
+                albx = jnp.where(is_rect, at_r("albx"), albx)
+                alby = jnp.where(is_rect, at_r("alby"), alby)
+                albz = jnp.where(is_rect, at_r("albz"), albz)
+                fuzz_v = jnp.where(is_rect, at_r("fz"), fuzz_v)
+                ridx_v = jnp.where(is_rect, at_r("ri"), ridx_v)
+                nf_v = jnp.where(is_rect, at_r("noi"), nf_v)
+                nsc_v = jnp.where(is_rect, at_r("nsc"), nsc_v)
+                chk_v = jnp.where(is_rect, at_r("chk"), chk_v)
+                evx_v = jnp.where(is_rect, at_r("evx"), evx_v)
+                evy_v = jnp.where(is_rect, at_r("evy"), evy_v)
+                evz_v = jnp.where(is_rect, at_r("evz"), evz_v)
+                odx_v = jnp.where(is_rect, at_r("odx"), odx_v)
+                ody_v = jnp.where(is_rect, at_r("ody"), ody_v)
+                odz_v = jnp.where(is_rect, at_r("odz"), odz_v)
+                img_v = jnp.where(is_rect, at_r("img"), img_v)
             if V:
                 mtype = jnp.where(is_med, 4.0, mtype)
-                albx = jnp.where(is_med, at_v["col"][..., 0], albx)
-                alby = jnp.where(is_med, at_v["col"][..., 1], alby)
-                albz = jnp.where(is_med, at_v["col"][..., 2], albz)
-                nf_v = jnp.where(is_med, at_v["noi"], nf_v)
-                nsc_v = jnp.where(is_med, at_v["nsc"], nsc_v)
+                albx = jnp.where(is_med, at_v("albx"), albx)
+                alby = jnp.where(is_med, at_v("alby"), alby)
+                albz = jnp.where(is_med, at_v("albz"), albz)
+                nf_v = jnp.where(is_med, at_v("noi"), nf_v)
+                nsc_v = jnp.where(is_med, at_v("nsc"), nsc_v)
                 chk_v = jnp.where(is_med, 0.0, chk_v)
-                img_v = jnp.where(is_med, at_v["img"], img_v)
+                img_v = jnp.where(is_med, at_v("img"), img_v)
 
             # ---- texture overrides, same order as the kernel ----
             if cfg.has_noise:
@@ -476,8 +555,8 @@ def make_replay(ctx):
                 hw = jnp.asarray(np.asarray(
                     [[h, w] for (h, w) in cfg.img_hw] or [[1, 1]],
                     np.int32))
-                nyi = g1(hw, iid)[..., 0]
-                nxi = g1(hw, iid)[..., 1]
+                nyi = jnp.take(hw, iid, axis=0)[..., 0]
+                nxi = jnp.take(hw, iid, axis=0)[..., 1]
                 i_t = (u_img * nxi.astype(jnp.float32)).astype(jnp.int32)
                 j_t = ((1.0 - v_img) * nyi.astype(jnp.float32)
                        - 0.001).astype(jnp.int32)

@@ -978,7 +978,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 wcode = jnp.where(use_med, float(cfg.S + cfg.R) + m_vidx,
                                   wcode)
             wcode = jnp.where(active & hit, wcode, -1.0)
-            out_ref[0, pl.ds(8 + it, 1), :] = wcode
+            if "notape" not in cfg.stub:  # stub isolates the store cost
+                out_ref[0, pl.ds(8 + it, 1), :] = wcode
 
         px_ = ox + best_t * dx
         py_ = oy + best_t * dy

@@ -38,7 +38,8 @@ def main():
     from raytracingweekend_tpu.utils.config import RenderConfig
 
     spps = {"dielectric": 4096, "light_sample": 4096,
-            "cornell_box": 8192, "random_balls": 2048}
+            "cornell_box": 8192, "random_balls": 2048,
+            "cornell_smoke": 8192}
     rows = []
     ok_all = True
     for name in sorted(GOLDENS):

@@ -65,18 +65,35 @@ def main():
     loss, g = grad_step(get_p(scene), tape, seed)
     _ = float(loss)
 
-    t_fwd = t_bwd = 0.0
+    @jax.jit
+    def fwd_only(p, tape, seed):
+        img = replay(set_p(scene, p), tape, seed)
+        return jnp.mean(img ** 2)
+
+    _ = float(fwd_only(get_p(scene), tape, seed))
+    # pre-split keys: an eager fold_in inside the timed loop costs a full
+    # tunnel round-trip per call
+    keys = list(jax.random.split(key, args.repeats))
+    _ = jax.random.key_data(keys[0]).tolist()  # materialize before timing
+    t_fwd = t_bwd = t_rf = 0.0
+    for r in range(args.repeats):  # phases timed in separate passes
+        t0 = time.perf_counter()
+        img, tape, seed, chk = mg.tape_forward_sync(keys[r], ctx)
+        _ = float(chk)  # ONE transfer forces the sync
+        t_fwd += time.perf_counter() - t0
     for r in range(args.repeats):
         t0 = time.perf_counter()
-        img, tape, seed = mg.tape_forward(jax.random.fold_in(key, r), ctx)
-        _ = float(jnp.sum(img))  # sync
-        t_fwd += time.perf_counter() - t0
+        _ = float(fwd_only(get_p(scene), tape, seed))
+        t_rf += time.perf_counter() - t0
+    for r in range(args.repeats):
         t0 = time.perf_counter()
         loss, g = grad_step(get_p(scene), tape, seed)
         _ = float(loss)  # sync
         t_bwd += time.perf_counter() - t0
     t_fwd /= args.repeats
     t_bwd /= args.repeats
+    t_rf /= args.repeats
+    print(f"replay forward-only: {t_rf * 1e3:.1f} ms", flush=True)
     row = dict(scene=args.scene, nx=args.nx, ny=args.ny, spp=args.spp,
                max_depth=args.max_depth,
                tape_forward_s=t_fwd, replay_value_and_grad_s=t_bwd,
