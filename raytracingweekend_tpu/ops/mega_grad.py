@@ -33,7 +33,12 @@ the semantics grad.render_diff already proves for the wavefront
 
 Cost model: per optimization step, one kernel launch at megakernel speed
 (tape rows add ~n_iters (1, T) stores) + one replay value_and_grad whose
-work is O(lanes x iterations) with small gathers — no S factor anywhere.
+work is O(lanes x iterations) with ONE one-hot extraction dot per winner
+class per step (no O(S) scan, no per-element gathers — the chip's gathers
+cost ~3.6 ms/M and dominated a jnp.take-based replay 13x; the dot's
+transpose makes the backward matmuls instead of scatter-adds). Measured
+on-chip (docs/grad_bench_r03.jsonl): 88-118 ms per 128x128x32spp
+inverse-rendering step, 4.4-4.9x the wavefront grad path.
 """
 from __future__ import annotations
 

@@ -32,7 +32,8 @@ def main():
                     default="cornell_box,random_balls,dielectric,"
                             "cornell_smoke,light_sample")
     ap.add_argument("--launch-spp", type=int, default=512)
-    ap.add_argument("--SB", type=int, default=512)
+    ap.add_argument("--SB", type=int, default=0,
+                    help="0 = measured auto plan")
     ap.add_argument("--chunks", type=int, default=1)
     ap.add_argument("--idx", action="store_true",
                     help="index-based winner extraction")
@@ -61,7 +62,7 @@ def main():
             step = min(args.launch_spp, spp - done)
             img, _ = mk.trace_mega(jax.random.fold_in(key, done), scene,
                                    nx, ny, step, max_depth=50,
-                                   SB=args.SB, chunks=args.chunks,
+                                   SB=args.SB or None, chunks=args.chunks,
                                    idx_extract=args.idx,
                                    interpret=interp)
             acc += np.asarray(img, np.float64)
