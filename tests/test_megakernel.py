@@ -121,6 +121,37 @@ def test_fused_extract_is_bitwise_exact():
         assert float(sa) == float(sb_), name
 
 
+def test_mega_image_on_medium_matches_wavefront():
+    """Image texture on an isotropic MEDIUM routes through the megakernel
+    (MD_IMG lane; uv pinned to (0,0) exactly like ops/geometry.hit_media —
+    the reference leaves hit_record.u/v unset there). Parity vs the
+    wavefront on a smoke ball wearing a gradient image."""
+    import numpy as np_
+
+    from raytracingweekend_tpu.models import scene_types as st
+    from raytracingweekend_tpu.models.builder import SceneBuilder
+
+    b = SceneBuilder()
+    v = np_.linspace(0.1, 0.9, 16)[:, None, None]
+    img = np_.broadcast_to(v, (16, 32, 3)).copy()
+    tex = b.image(img)
+    b.sphere((0, -100.5, -1), 100.0,
+             b.lambertian(b.constant((0.6, 0.6, 0.6))))
+    b.constant_medium_sphere((0, 0, -1), 0.7, 1.5, b.isotropic(tex))
+    b.camera((0, 0, 1.5), (0, 0, -1), (0, 1, 0), 60.0, 1.0, 0.0, 2.5)
+    scene = b.build(background=st.BG_GRADIENT, name="smoke_image")
+    assert mk.supports_scene(scene)
+    nx = ny = 24
+    spp = 12
+    a, _ = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=12, T=128,
+                         interpret=True)
+    a = np.asarray(a) / spp
+    ref = np.asarray(render_chunk(scene, KEY, nx, ny, spp, 12)) / spp
+    assert np.isfinite(a).all()
+    assert abs(a.mean() - ref.mean()) < 0.03
+    assert np.abs(_blocks(a) - _blocks(ref)).max() < 0.2
+
+
 def test_unroll_overshoot_is_statistically_neutral():
     """cfg.unroll > 1 runs bounce iterations in groups between while-loop
     checks; the overshoot past all-lanes-done adds EXTRA overdraw samples
