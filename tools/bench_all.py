@@ -26,6 +26,7 @@ SCENES = [
     ("earth", 800, 600, 64),               # book-2 image texture
     ("earth_rect", 800, 600, 64),          # image texture on a rect (fused)
     ("random_balls_large", 1200, 800, 32),  # 3.6k-sphere stress
+    ("random_balls_huge", 1200, 800, 16),   # 14.4k-sphere stress
 ]
 
 
