@@ -511,18 +511,31 @@ def make_replay(ctx):
 
             # ---- texture overrides, same order as the kernel ----
             if cfg.has_noise:
+                # mk's noise helpers build their two-level lookup one-hots
+                # from a (16, T) iota shaped for a SINGLE (1, T) coordinate
+                # row (the kernel evaluates per tile); flatten the tile axis
+                # into the lane axis so the replay evaluates all tiles in
+                # one call — (n_tiles, T) inputs would mis-broadcast (crash
+                # for most n_tiles, silently wrong at n_tiles == 16).
+                def _fl(a):
+                    return a.reshape(1, M_)
+
                 mval = jnp.zeros((n_tiles, T), jnp.float32)
                 if st.NOISE_MARBLE in cfg.noise_modes:
-                    mar = mk._marble(px_, py_, pz_, nsc_v, T)
+                    mar = mk._marble(_fl(px_), _fl(py_), _fl(pz_),
+                                     _fl(nsc_v), M_).reshape(n_tiles, T)
                     mval = jnp.where(nf_v == float(1 + st.NOISE_MARBLE),
                                      mar, mval)
                 if st.NOISE_SMOOTH in cfg.noise_modes:
                     smv = 0.5 * (1.0 + mk._perlin_noise(
-                        px_ * nsc_v, py_ * nsc_v, pz_ * nsc_v, T))
+                        _fl(px_ * nsc_v), _fl(py_ * nsc_v),
+                        _fl(pz_ * nsc_v), M_)).reshape(n_tiles, T)
                     mval = jnp.where(nf_v == float(1 + st.NOISE_SMOOTH),
                                      smv, mval)
                 if st.NOISE_TURB in cfg.noise_modes:
-                    tbv = mk._turb(px_ * nsc_v, py_ * nsc_v, pz_ * nsc_v, T)
+                    tbv = mk._turb(_fl(px_ * nsc_v), _fl(py_ * nsc_v),
+                                   _fl(pz_ * nsc_v),
+                                   M_).reshape(n_tiles, T)
                     mval = jnp.where(nf_v == float(1 + st.NOISE_TURB),
                                      tbv, mval)
                 use_n = nf_v > 0.5
@@ -962,10 +975,36 @@ def fit_scene_params_mega(scene: st.Scene, target, *, get_params,
     return cur, float(loss)
 
 
+# meta fields the launch cfg was specialized on: a re-tape whose rebuilt
+# meta disagrees here would run the kernel with stale static branches
+_CFG_STATIC_KEYS = ("S", "C", "SB", "sg", "Cg", "uniform_time",
+                    "clus_moving", "moving", "lens", "has_metal",
+                    "has_dielectric", "bg_gradient", "has_spheres",
+                    "has_light", "has_checker", "has_noise", "noise_modes",
+                    "has_image", "n_img", "img_hw", "has_iso", "R", "L",
+                    "V", "light_kinds", "light_axes", "light_rot",
+                    "light_trans", "med_kinds", "med_rot", "med_trans")
+
+
 def _retabbed(ctx, scene):
-    """ctx with tables rebuilt for an updated concrete scene (same static
-    plan: geometry counts and layout are unchanged by parameter updates)."""
-    tabs = mk.build_tables_cached(scene, ctx["cfg"].SB)
+    """ctx with tables rebuilt for an updated concrete scene under the
+    ORIGINAL slot layout (meta["slot_ext"] pins build_tables' ordering:
+    the Morton sort and radius block reorder depend on geometry, so an
+    unpinned rebuild could reshuffle slots mid-fit while the replay
+    closure still decodes the tape with the original maps). Cluster AABBs
+    are recomputed from the current geometry, so culling stays correct;
+    the cfg-specialized static flags are asserted unchanged."""
+    meta = ctx["meta"]
+    tabs = mk.build_tables(scene, ctx["cfg"].SB, meta.get("sg", 0),
+                           order_override=meta["slot_ext"])
+    new_meta = tabs[-1]
+    for k in _CFG_STATIC_KEYS:
+        if new_meta[k] != meta[k]:
+            raise ValueError(
+                f"re-tape changed static plan field {k!r}: "
+                f"{meta[k]!r} -> {new_meta[k]!r}; parameter updates that "
+                "flip kernel specialization (e.g. introducing motion or a "
+                "new texture mode) need a fresh plan_tape")
     new = dict(ctx)
     new["tabs"] = tabs
     return new

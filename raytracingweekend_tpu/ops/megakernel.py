@@ -509,12 +509,14 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             # tightening (votes here are geometric-only, against t_min)
             # for reduce pipelining. The per-lane min-merge inside the
             # blocks is unchanged, so radiance is exact either way. ----
-            bminx = clus_ref[:, K_MINX:K_MINX + 1]
-            bmaxx = clus_ref[:, K_MAXX:K_MAXX + 1]
-            bminy = clus_ref[:, K_MINY:K_MINY + 1]
-            bmaxy = clus_ref[:, K_MAXY:K_MAXY + 1]
-            bminz = clus_ref[:, K_MINZ:K_MINZ + 1]
-            bmaxz = clus_ref[:, K_MAXZ:K_MAXZ + 1]
+            # member-cluster rows only: with super_group > 0 clus_ref also
+            # carries Cg appended union rows, and vote_ref is (C, 1)
+            bminx = clus_ref[:C, K_MINX:K_MINX + 1]
+            bmaxx = clus_ref[:C, K_MAXX:K_MAXX + 1]
+            bminy = clus_ref[:C, K_MINY:K_MINY + 1]
+            bmaxy = clus_ref[:C, K_MAXY:K_MAXY + 1]
+            bminz = clus_ref[:C, K_MINZ:K_MINZ + 1]
+            bmaxz = clus_ref[:C, K_MAXZ:K_MAXZ + 1]
             btx0 = (bminx - ox) * idx_
             btx1 = (bmaxx - ox) * idx_
             bty0 = (bminy - oy) * idy_
@@ -1699,13 +1701,23 @@ def build_tables_cached(scene: st.Scene, SB: int, sg: int = 0):
     return tables
 
 
-def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0):
+def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0,
+                 order_override=None):
     """Host-side (eager) packing: Morton-sorted sphere tables + cluster
     AABBs + camera vector. Returns (sph_tab (S,128), attr_tab (16,S),
     clus_tab (C,128), cam_vec (1,128), meta dict). sg > 0 appends
     super-cluster AABB rows (unions of sg consecutive clusters, grouped in
     MORTON order — spatial locality makes the unions tight) after the C
-    cluster rows for the kernel's two-level vote."""
+    cluster rows for the kernel's two-level vote.
+
+    order_override: an (S,) int array (meta["slot_ext"]: original sphere
+    row per slot, -1 = padding) that PINS the slot layout. Used by the
+    inverse-rendering re-tape (ops/mega_grad._retabbed): the Morton sort
+    and biggest-radius block reorder depend on sphere centers/radii, so
+    optimizing geometry could silently reshuffle slots mid-fit while the
+    replay closure still decodes the tape with the original maps. Pinning
+    keeps slot codes stable; cluster AABBs are still recomputed from the
+    CURRENT geometry, so culling stays correct."""
     sph = scene.spheres
     act = np.asarray(sph.active)
     c0 = np.asarray(sph.center0, np.float32)
@@ -1715,42 +1727,51 @@ def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0):
     rad = np.asarray(sph.radius, np.float32)
     mat = np.asarray(sph.mat)
 
-    live = np.nonzero(act)[0]
-    # Drop exact geometric duplicates (same swept center/radius/time),
-    # keeping the FIRST: the one-hot extraction mask SUMS attribute rows of
-    # every sphere tied at the winning t, so coincident duplicates would
-    # double albedo / corrupt mtype. First-wins matches the reference's
-    # list iteration (strict t < closest: a later equal hit never
-    # replaces). Distinct spheres tying at one float32 t remains
-    # possible in principle but is measure-zero per sample.
-    if live.size:
-        geom = np.stack([c0[live, 0], c0[live, 1], c0[live, 2],
-                         c1[live, 0], c1[live, 1], c1[live, 2],
-                         rad[live], t0[live], t1[live]], axis=1)
-        _, first = np.unique(geom, axis=0, return_index=True)
-        live = live[np.sort(first)]
-    order = (live[_morton_order(c0[live])] if live.size
-             else live.astype(np.int32))
-    n = order.size
-    S = max(SB, ((n + SB - 1) // SB) * SB)
-    C = S // SB
+    if order_override is not None:
+        idx_ext = np.asarray(order_override, np.int64)
+        S = idx_ext.size
+        assert S % SB == 0, (S, SB)
+        C = S // SB
+        n = int(np.sum(idx_ext >= 0))
+    else:
+        live = np.nonzero(act)[0]
+        # Drop exact geometric duplicates (same swept center/radius/time),
+        # keeping the FIRST: the one-hot extraction mask SUMS attribute
+        # rows of every sphere tied at the winning t, so coincident
+        # duplicates would double albedo / corrupt mtype. First-wins
+        # matches the reference's list iteration (strict t < closest: a
+        # later equal hit never replaces). Distinct spheres tying at one
+        # float32 t remains possible in principle but is measure-zero per
+        # sample.
+        if live.size:
+            geom = np.stack([c0[live, 0], c0[live, 1], c0[live, 2],
+                             c1[live, 0], c1[live, 1], c1[live, 2],
+                             rad[live], t0[live], t1[live]], axis=1)
+            _, first = np.unique(geom, axis=0, return_index=True)
+            live = live[np.sort(first)]
+        order = (live[_morton_order(c0[live])] if live.size
+                 else live.astype(np.int32))
+        n = order.size
+        S = max(SB, ((n + SB - 1) // SB) * SB)
+        C = S // SB
 
-    # Cluster importance order: the kernel's running-best slab gate skips a
-    # cluster once the closest hit found so far is in front of it, so visit
-    # the clusters most likely to OWN the closest hit first — biggest
-    # spheres (the ground sphere dominates hit probability) lead, the
-    # long Morton-sorted tail of small spheres follows.
-    idx_ext = np.full((S,), -1, np.int64)
-    idx_ext[:n] = order
-    if C > 1 and not sg:
-        # (two-level mode keeps pure Morton cluster order instead: the
-        # super unions must be spatially tight, which biggest-radius-first
-        # reordering destroys)
-        blocks = idx_ext.reshape(C, SB)
-        key_r = np.array([np.abs(rad[b[b >= 0]]).max() if (b >= 0).any()
-                          else -1.0 for b in blocks])
-        blocks = blocks[np.argsort(-key_r, kind="stable")]
-        idx_ext = blocks.reshape(S)
+        # Cluster importance order: the kernel's running-best slab gate
+        # skips a cluster once the closest hit found so far is in front of
+        # it, so visit the clusters most likely to OWN the closest hit
+        # first — biggest spheres (the ground sphere dominates hit
+        # probability) lead, the long Morton-sorted tail of small spheres
+        # follows.
+        idx_ext = np.full((S,), -1, np.int64)
+        idx_ext[:n] = order
+        if C > 1 and not sg:
+            # (two-level mode keeps pure Morton cluster order instead: the
+            # super unions must be spatially tight, which biggest-radius-
+            # first reordering destroys)
+            blocks = idx_ext.reshape(C, SB)
+            key_r = np.array([np.abs(rad[b[b >= 0]]).max() if (b >= 0).any()
+                              else -1.0 for b in blocks])
+            blocks = blocks[np.argsort(-key_r, kind="stable")]
+            idx_ext = blocks.reshape(S)
     actm = idx_ext >= 0
 
     def pad(x, fill=0.0):
@@ -2083,6 +2104,7 @@ def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0):
                 # (ops/mega_grad.py): packed slot/row -> original scene row
                 slot_to_orig=np.where(idx_ext >= 0, idx_ext, 0)
                 .astype(np.int32),
+                slot_ext=idx_ext.astype(np.int32),
                 rect_rows=tuple(int(r) for r in rlive),
                 med_rows=tuple(int(v) for v in vlive),
                 light_rows=tuple(int(r) for r in l_idx[:L]))

@@ -41,6 +41,30 @@ def test_replay_matches_kernel(name):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_replay_perlin_multi_tile():
+    """Perlin-noise replay parity at n_tiles > 1 (ADVICE r3 high): the
+    noise helpers' two-level lookup one-hots are shaped for (1, T) rows,
+    so multi-tile coordinates must be flattened into the lane axis —
+    unflattened they crash for most n_tiles and silently mis-broadcast at
+    exactly n_tiles == 16."""
+    scene = make_scene("two_perlin_spheres", 1.0)
+    ctx = mg.plan_tape(scene, 32, 32, 2, max_depth=4, T=512)
+    assert ctx["n_tiles"] >= 2
+    img, tape, seed = mg.tape_forward(jax.random.key(7), ctx,
+                                      interpret=True)
+    replay = mg.make_replay(ctx)
+    img2 = replay(scene, tape, seed)
+    # Looser than the other parity tests: marble is sin(scale*z +
+    # 10*turb(p)), so the ~1-ulp hit-point divergence between kernel and
+    # replay roots is amplified ~10x through the 7-octave turbulence
+    # (measured identically at n_tiles == 1; the flattened noise call is
+    # bitwise equal to per-tile evaluation). Mean error stays at float
+    # noise.
+    a, b = np.asarray(img), np.asarray(img2)
+    np.testing.assert_allclose(a, b, rtol=0.1, atol=4e-3)
+    assert np.abs(a - b).mean() < 1e-4
+
+
 def _fd_check(scene, ctx, key, get_p, set_p, picks, eps, rtol, atol):
     img0, tape, seed = mg.tape_forward(key, ctx, interpret=True)
     replay = mg.make_replay(ctx)
@@ -154,6 +178,39 @@ def test_fd_radius_and_fuzz():
         lambda sc, p: sc.replace(materials=sc.materials.replace(fuzz=p)),
         picks=[(3,)],
         eps=2e-3, rtol=5e-2, atol=1e-7)
+
+
+def test_retab_pins_slot_layout():
+    """Geometry updates must not reshuffle tape slot codes mid-fit
+    (ADVICE r3 medium): build_tables' Morton sort and biggest-radius
+    block reorder depend on centers/radii, so _retabbed pins the original
+    slot layout — the rebuilt tables keep slot_to_orig bit-identical even
+    under a perturbation that WOULD change the unpinned ordering, while
+    the replay still matches the re-taped kernel."""
+    scene = make_scene("random_balls", 1.0)
+    ctx = mg.plan_tape(scene, 8, 8, 2, max_depth=3, T=128)
+    # shove one sphere across the scene: unpinned Morton order changes
+    c0 = np.asarray(scene.spheres.center0).copy()
+    live = np.nonzero(np.asarray(scene.spheres.active))[0]
+    c0[live[3]] = c0[live[-1]] + np.asarray([0.5, 0.0, 0.5])
+    moved = scene.replace(spheres=scene.spheres.replace(
+        center0=jnp.asarray(c0), center1=jnp.asarray(
+            c0 + (np.asarray(scene.spheres.center1)
+                  - np.asarray(scene.spheres.center0)))))
+    unpinned_meta = mg.mk.build_tables(moved, ctx["cfg"].SB)[-1]
+    assert not np.array_equal(unpinned_meta["slot_to_orig"],
+                              ctx["meta"]["slot_to_orig"]), \
+        "perturbation too weak to exercise the reorder hazard"
+    c2 = mg._retabbed(ctx, moved)
+    np.testing.assert_array_equal(c2["tabs"][-1]["slot_to_orig"],
+                                  ctx["meta"]["slot_to_orig"])
+    # and the replay (closed over the ORIGINAL meta) still reproduces the
+    # re-taped kernel at the moved geometry
+    img, tape, seed = mg.tape_forward(jax.random.key(1), c2,
+                                      interpret=True)
+    img2 = mg.make_replay(ctx)(moved, tape, seed)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img2),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_fit_scene_params_mega_converges():

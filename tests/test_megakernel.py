@@ -376,6 +376,23 @@ def test_vote_free_blocking_is_bitwise_exact():
                                       err_msg=name)
 
 
+def test_batch_votes_with_super_group_compiles_and_is_exact():
+    """batch_votes + super_group combined (ADVICE r3 low): the batched
+    slab test must vote over the C member-cluster rows only — clus_ref
+    also carries the Cg appended super-union rows, and vote_ref is (C, 1),
+    so an unsliced any() was a shape-mismatch compile failure. Both knobs
+    are result-preserving, so radiance stays bitwise identical to the
+    dense sweep."""
+    scene = make_scene("random_balls_large", 1.0, n=16)  # 260 spheres
+    base, sa = mk.trace_mega(KEY, scene, 16, 16, 2, max_depth=6, T=256,
+                             SB=64, cull=True, interpret=True)
+    both, sb_ = mk.trace_mega(KEY, scene, 16, 16, 2, max_depth=6, T=256,
+                              SB=64, cull=True, batch_votes=True,
+                              super_group=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(both))
+    assert float(sa) == float(sb_)
+
+
 def test_blocked_extraction_is_bitwise_exact():
     """Blocked idx-mode attribute extraction (cfg.eb < S: accumulated
     (A_ROWS, EB) x (EB, T) partial dots) must be bitwise identical to the
