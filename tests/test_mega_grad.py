@@ -180,6 +180,103 @@ def test_fd_radius_and_fuzz():
         eps=2e-3, rtol=5e-2, atol=1e-7)
 
 
+def test_fd_camera_origin():
+    """Camera-vector gradient (mega_grad.py docstring axis 1): FD through
+    the kernel forward w.r.t. the camera ORIGIN on the smooth MIS scene.
+    Moving the origin shifts EVERY primary ray, so most seeds flip a
+    silhouette winner somewhere (visibility terms are out of scope by the
+    detached-decision design); seed/eps scanned for a flip-free pair."""
+    scene = _mis_fd_scene()
+    ctx = mg.plan_tape(scene, 16, 16, 6, max_depth=5, T=256)
+    _fd_check(
+        scene, ctx, jax.random.key(13),
+        lambda sc: sc.camera.origin,
+        lambda sc, p: sc.replace(camera=sc.camera.replace(origin=p)),
+        picks=[(0,), (1,), (2,)],
+        eps=3e-3, rtol=3e-2, atol=1e-7)
+
+
+def _rho_fd_scene():
+    """Marble-textured isotropic medium + ground sphere + gradient sky:
+    the density FD scene. With a CONSTANT-albedo medium (cornell_smoke),
+    radiance is albedo^k * background(final dir) — independent of the
+    scatter positions given the taped decisions — so the analytic rho
+    gradient is ~0 and FD sees pure winner-flip noise. A noise texture
+    couples rho to radiance smoothly: t_m = m_in - log(U)/rho moves the
+    scatter point, which moves the marble albedo."""
+    from raytracingweekend_tpu.models import scene_types as st
+    from raytracingweekend_tpu.models.builder import SceneBuilder
+
+    b = SceneBuilder()
+    iso = b.isotropic(b.noise(scale=2.0, mode=st.NOISE_MARBLE))
+    b.constant_medium_sphere((0.0, 0.0, 0.0), 1.5, 1.2, iso)
+    ground = b.lambertian(b.constant((0.4, 0.5, 0.6)))
+    b.sphere((0.0, -101.5, 0.0), 100.0, ground)
+    b.camera((0, 0.5, 6), (0, 0, 0), (0, 1, 0), 30.0, 1.0, 0.0, 6.0,
+             0.0, 1.0)
+    return b.build(background=st.BG_GRADIENT, name="fd_rho")
+
+
+def test_fd_medium_density():
+    """Medium-density gradient (docstring axis 2): the replay's scatter
+    distance is m_in - log(U)/rho with the taped winner frozen, so
+    d(loss)/d(rho) is smooth between winner flips (seed/eps scanned)."""
+    scene = _rho_fd_scene()
+    ctx = mg.plan_tape(scene, 16, 16, 4, max_depth=5, T=256)
+    _fd_check(
+        scene, ctx, jax.random.key(17),
+        lambda sc: sc.media.density,
+        lambda sc, p: sc.replace(media=sc.media.replace(density=p)),
+        picks=[(0,)],
+        eps=1e-4, rtol=3e-2, atol=1e-7)
+
+
+def test_fd_noise_scale():
+    """Noise-scale gradient (docstring axis 3) on the perlin spheres: no
+    path decision depends on albedo, so the marble chain
+    sin(scale*z + 10*turb) differentiates cleanly."""
+    scene = make_scene("two_perlin_spheres", 1.0)
+    ctx = mg.plan_tape(scene, 16, 16, 4, max_depth=4, T=256)
+    _fd_check(
+        scene, ctx, jax.random.key(8),
+        lambda sc: sc.textures.scale,
+        lambda sc, p: sc.replace(textures=sc.textures.replace(scale=p)),
+        picks=[(0,)],
+        eps=1e-3, rtol=5e-2, atol=1e-6)
+
+
+def test_fd_image_texels():
+    """Image-texel gradient (docstring axis 4) on the earth globe: texels
+    enter only through albedo (no decisions), so analytic == FD at the
+    hottest texels. Picks are the two largest-|g| atlas entries."""
+    scene = make_scene("earth", 1.0)
+    assert scene.textures.images is not None
+    ctx = mg.plan_tape(scene, 16, 16, 4, max_depth=4, T=256)
+    key = jax.random.key(6)
+    img0, tape, seed = mg.tape_forward(key, ctx, interpret=True)
+    replay = mg.make_replay(ctx)
+
+    def loss_p(p):
+        sc = scene.replace(textures=scene.textures.replace(images=p))
+        return _loss(replay(sc, tape, seed))
+
+    g = np.asarray(jax.grad(loss_p)(scene.textures.images))
+    assert np.abs(g).sum() > 0.0
+    flat = np.argsort(np.abs(g).ravel())[::-1][:2]
+    eps = 5e-3
+    p0 = np.asarray(scene.textures.images)
+    for fi in flat:
+        idx = np.unravel_index(fi, g.shape)
+        pp, pm = p0.copy(), p0.copy()
+        pp[idx] += eps
+        pm[idx] -= eps
+        set_im = lambda arr: scene.replace(
+            textures=scene.textures.replace(images=jnp.asarray(arr)))
+        fd = (_kernel_loss(set_im(pp), ctx, key)
+              - _kernel_loss(set_im(pm), ctx, key)) / (2 * eps)
+        np.testing.assert_allclose(fd, g[idx], rtol=3e-2, atol=1e-9)
+
+
 def test_retab_pins_slot_layout():
     """Geometry updates must not reshuffle tape slot codes mid-fit
     (ADVICE r3 medium): build_tables' Morton sort and biggest-radius
