@@ -121,7 +121,15 @@ def make_replay(ctx):
     """Build the differentiable replay: a jit-able
     replay(scene, tape, seed) -> (ny, nx, 3) spp-averaged image that
     mirrors the tape-mode kernel's bounce loop op-for-op, with tape-driven
-    gathers standing in for the intersection scan."""
+    gathers standing in for the intersection scan.
+
+    The returned function also exposes `replay.lanes(scene, tape, seed,
+    pixf)` — the same computation over an ARBITRARY (n, 4, T) pixel-lane
+    block (e.g. one dp shard's row tile, j pre-offset to absolute rows),
+    returning the raw (n, T, 3) radiance sums without the image gather.
+    The kernel's RNG streams are (seed, local tile index)-keyed in both
+    paths, so a shard running tiles 0..n-1 with its own seed replays
+    exactly."""
     cfg = ctx["cfg"]
     meta = ctx["meta"]
     T = ctx["T"]
@@ -138,23 +146,10 @@ def make_replay(ctx):
                            if R else np.zeros(1, np.int64)).astype(jnp.int32)
     med_map = jnp.asarray(np.asarray(med_rows + (0,))[:max(V, 1)]
                           if V else np.zeros(1, np.int64)).astype(jnp.int32)
-    pixf = ctx["pixf"]
-    px_i = pixf[:, 0, :]   # (n_tiles, T)
-    px_j = pixf[:, 1, :]
-    valid = pixf[:, 2, :] > 0.0
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     inv = ctx["inv"]
-
-    def uni(n_rows, salt, seed, it):
-        """(n_tiles, n_rows, T) uniforms, bit-identical to the kernel's."""
-        return jax.vmap(
-            lambda tl: mk._uniforms(n_rows, T, seed, tl, it, salt,
-                                    bitcast=_BC))(tile_ids)
 
     def safe(pred, x, alt=1.0):
         return jnp.where(pred, x, alt)
-
-    M_ = n_tiles * T
 
     def pack(d):
         """Stack a dict of (K,) rows into a (P, K) matrix + name index."""
@@ -162,26 +157,6 @@ def make_replay(ctx):
         return (jnp.stack([jnp.asarray(d[n], jnp.float32) for n in names],
                           axis=0),
                 {n: i for i, n in enumerate(names)})
-
-    def extract(matx, idx_dict, idx):
-        """One-hot MXU extraction of matx's columns at per-lane indices —
-        the replay-side twin of the kernel's fused extraction. Gathers
-        measure ~3.6 ms per million elements on this chip (CLAUDE.md) and
-        the scan runs hundreds of steps, so per-step jnp.take was the
-        whole replay cost (595 of 669 ms at 128x128x32); one (P, K)@(K, M)
-        dot per winner class replaces ~25 of them, and its transpose (the
-        backward) is a matmul instead of a scatter-add. HIGHEST precision
-        = 6-pass bf16 = bit-exact for a one-hot RHS (3 bf16 terms span the
-        full f32 mantissa)."""
-        K = matx.shape[1]
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (K, M_), 0)
-              == idx.reshape(1, M_)).astype(jnp.float32)
-        out = jax.lax.dot_general(
-            matx, oh, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        out = out.reshape(matx.shape[0], n_tiles, T)
-        return lambda name: out[idx_dict[name]]
 
     def _mat_rows(mats, tex, mi):
         """Per-primitive material/texture rows (the traced analogue of
@@ -206,7 +181,43 @@ def make_replay(ctx):
                           1.0 + tex.image_id[ti].astype(jnp.float32),
                           0.0))
 
-    def replay(scene: st.Scene, tape, seed_arr):
+    def replay_lanes(scene: st.Scene, tape, seed_arr, pixf):
+        n_t = pixf.shape[0]
+        M_ = n_t * T
+        px_i = pixf[:, 0, :]   # (n_t, T)
+        px_j = pixf[:, 1, :]
+        valid = pixf[:, 2, :] > 0.0
+        tile_ids = jnp.arange(n_t, dtype=jnp.int32)
+        n_tiles = n_t  # shadow the full-image count: all shapes below are
+        # per-block so replay_lanes works on any shard's lane block
+
+        def uni(n_rows, salt, seed, it):
+            """(n_t, n_rows, T) uniforms, bit-identical to the kernel's."""
+            return jax.vmap(
+                lambda tl: mk._uniforms(n_rows, T, seed, tl, it, salt,
+                                        bitcast=_BC))(tile_ids)
+
+        def extract(matx, idx_dict, idx):
+            """One-hot MXU extraction of matx's columns at per-lane
+            indices — the replay-side twin of the kernel's fused
+            extraction. Gathers measure ~3.6 ms per million elements on
+            this chip (CLAUDE.md) and the scan runs hundreds of steps, so
+            per-step jnp.take was the whole replay cost (595 of 669 ms at
+            128x128x32); one (P, K)@(K, M) dot per winner class replaces
+            ~25 of them, and its transpose (the backward) is a matmul
+            instead of a scatter-add. HIGHEST precision = 6-pass bf16 =
+            bit-exact for a one-hot RHS (3 bf16 terms span the full f32
+            mantissa)."""
+            K = matx.shape[1]
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (K, M_), 0)
+                  == idx.reshape(1, M_)).astype(jnp.float32)
+            out = jax.lax.dot_general(
+                matx, oh, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            out = out.reshape(matx.shape[0], n_tiles, T)
+            return lambda name: out[idx_dict[name]]
+
         seed = seed_arr[0, 0]
         cam = scene.camera
         sph = scene.spheres
@@ -900,14 +911,316 @@ def make_replay(ctx):
                   zero, zero, zero, zero,
                   jnp.where(valid, 0.0, spp), zero, zero, zero)
         its = jnp.arange(n_iters, dtype=jnp.int32)
-        tape_t = tape.transpose(1, 0, 2)           # (n_iters, n_tiles, T)
+        tape_t = tape.transpose(1, 0, 2)           # (n_iters, n_t, T)
         state, _ = lax.scan(step, state0, (its, tape_t))
         ax, ay, az = state[-3], state[-2], state[-1]
-        sums = jnp.stack([ax, ay, az], axis=-1).reshape(n_tiles * T, 3)
-        image = sums[inv].reshape(ny, nx, 3) / float(ctx["spp"])
+        return jnp.stack([ax, ay, az], axis=-1)    # (n_t, T, 3) raw sums
+
+    def replay(scene: st.Scene, tape, seed_arr):
+        sums = replay_lanes(scene, tape, seed_arr, ctx["pixf"])
+        image = (sums.reshape(n_tiles * T, 3)[inv].reshape(ny, nx, 3)
+                 / float(ctx["spp"]))
         return image
 
+    replay.lanes = replay_lanes
     return replay
+
+
+def build_tables_traced(scene: st.Scene, base: st.Scene, meta: dict):
+    """Traced (jit-able, differentiable) twin of megakernel.build_tables
+    under meta's pinned slot layout: the 8 kernel tables as jnp values of
+    the TRACED scene's parameters, with every structural decision (slot
+    order, material/texture indices, axis codes, light kinds) read from
+    the CONCRETE `base` scene the plan was built on.
+
+    This is what makes a fully device-resident inverse-rendering step
+    possible: the eager build_tables pulls the scene to the host and
+    re-uploads 8 arrays per step — through a remote TPU tunnel that is
+    ~28 ms per transfer and measured as ~2x the whole step
+    (docs/inverse_render_tpu_r03.json). Here the tables are ordinary XLA
+    ops inside the step's jit, so re-taping at updated parameters costs a
+    few fused gathers. Numerics mirror build_tables row for row (pad
+    fills, guarded reciprocals, hi/lo-bf16 atlas split) so the kernel
+    consumes identical tables either way."""
+    slot = np.asarray(meta["slot_ext"], np.int64)          # (S,) static
+    S = slot.size
+    actm = slot >= 0
+    safe_i = np.where(actm, slot, 0)
+    actf = jnp.asarray(actm.astype(np.float32))
+
+    def pad(x, fill=0.0):
+        x = jnp.asarray(x, jnp.float32)
+        if not actm.any() or x.shape[0] == 0:  # no live spheres: all fill
+            return jnp.full((S,) + x.shape[1:], jnp.float32(fill))
+        g = jnp.take(x, safe_i, axis=0)
+        m = actm if g.ndim == 1 else actm[:, None]
+        return jnp.where(jnp.asarray(m), g, jnp.float32(fill))
+
+    sph = scene.spheres
+    mats = scene.materials
+    tex = scene.textures
+    c0p = pad(sph.center0)
+    c1p = pad(sph.center1)
+    t0p = pad(sph.time0)
+    t1p = pad(sph.time1, 1.0)
+    radp = pad(sph.radius)
+    dt = t1p - t0p
+    idt = jnp.where(dt != 0.0, 1.0 / jnp.where(dt != 0.0, dt, 1.0), 0.0)
+    dc = c1p - c0p
+    r2 = jnp.where(actf > 0, radp * radp, -1.0)
+
+    sph_tab = jnp.zeros((S, mk.SPH_LANES), jnp.float32)
+    for lane, v in ((mk.C_CX, c0p[:, 0]), (mk.C_CY, c0p[:, 1]),
+                    (mk.C_CZ, c0p[:, 2]), (mk.C_DCX, dc[:, 0]),
+                    (mk.C_DCY, dc[:, 1]), (mk.C_DCZ, dc[:, 2]),
+                    (mk.C_T0, t0p), (mk.C_IDT, idt), (mk.C_R2, r2),
+                    (mk.C_ACT, actf)):
+        sph_tab = sph_tab.at[:, lane].set(v)
+
+    # ---- attribute table: structure from base, values traced ----
+    base_mat = np.asarray(base.spheres.mat, np.int64)
+    matp = (np.where(actm, base_mat[safe_i], 0) if base_mat.size
+            else np.zeros(S, np.int64))                    # static (S,)
+    ti = np.asarray(base.materials.tex, np.int64)[matp]
+    ttype_np = np.asarray(base.textures.ttype, np.int64)
+    nmode_np = np.asarray(base.textures.noise_mode)
+    mtype_np = np.asarray(base.materials.mtype, np.int64)[matp]
+    mtype = jnp.asarray(mtype_np.astype(np.float32))
+    alb = jnp.take(tex.color, jnp.asarray(ti), axis=0)
+    fuzz = jnp.take(mats.fuzz, jnp.asarray(matp))
+    ridx = jnp.take(mats.ref_idx, jnp.asarray(matp))
+    rinv = jnp.where(radp != 0.0,
+                     1.0 / jnp.where(radp != 0.0, radp, 1.0), 0.0)
+    chk = jnp.asarray((ttype_np[ti] == st.TEX_CHECKER)
+                      .astype(np.float32))
+    evc = jnp.take(tex.color,
+                   jnp.asarray(np.asarray(base.textures.even,
+                                          np.int64)[ti]), axis=0)
+    odc = jnp.take(tex.color,
+                   jnp.asarray(np.asarray(base.textures.odd,
+                                          np.int64)[ti]), axis=0)
+    is_noi = ttype_np[ti] == st.TEX_NOISE
+    noi = jnp.asarray(np.where(is_noi, 1.0 + nmode_np[ti], 0.0)
+                      .astype(np.float32))
+    nscale = jnp.take(tex.scale, jnp.asarray(ti))
+    is_img = ttype_np[ti] == st.TEX_IMAGE
+    imgf = np.where(is_img,
+                    1.0 + np.asarray(base.textures.image_id)[ti], 0.0)
+    imgf = jnp.asarray(np.where(actm, imgf, 0.0).astype(np.float32))
+    mparam = jnp.where(jnp.asarray(mtype_np == st.MAT_METAL), fuzz,
+                       jnp.where(jnp.asarray(
+                           mtype_np == st.MAT_DIELECTRIC), ridx, 0.0))
+    attr_tab = jnp.zeros((mk.A_ROWS, S), jnp.float32)
+    for row, v in ((mk.A_CX, c0p[:, 0]), (mk.A_CY, c0p[:, 1]),
+                   (mk.A_CZ, c0p[:, 2]), (mk.A_DCX, dc[:, 0]),
+                   (mk.A_DCY, dc[:, 1]), (mk.A_DCZ, dc[:, 2]),
+                   (mk.A_T0, t0p), (mk.A_IDT, idt), (mk.A_RINV, rinv),
+                   (mk.A_MTYPE, mtype),
+                   (mk.A_ALBX, alb[:, 0]), (mk.A_ALBY, alb[:, 1]),
+                   (mk.A_ALBZ, alb[:, 2]), (mk.A_MPARAM, mparam),
+                   (mk.A_CHK, chk), (mk.A_NSCALE, nscale),
+                   (mk.A_NOISE, noi),
+                   (mk.A_EVENX, evc[:, 0]), (mk.A_EVENY, evc[:, 1]),
+                   (mk.A_EVENZ, evc[:, 2]),
+                   (mk.A_ODDX, odc[:, 0]), (mk.A_ODDY, odc[:, 1]),
+                   (mk.A_ODDZ, odc[:, 2]), (mk.A_IMG, imgf)):
+        attr_tab = attr_tab.at[row].set(v)
+
+    # ---- cluster AABBs from the CURRENT (traced) geometry ----
+    C, SB = meta["C"], meta["SB"]
+    absr = jnp.abs(radp)
+    los = jnp.minimum(c0p, c1p) - absr[:, None]
+    his = jnp.maximum(c0p, c1p) + absr[:, None]
+    los = jnp.where(actf[:, None] > 0, los, jnp.inf)
+    his = jnp.where(actf[:, None] > 0, his, -jnp.inf)
+    lmin = los.reshape(C, SB, 3).min(axis=1)
+    lmax = his.reshape(C, SB, 3).max(axis=1)
+    Cg, sg = meta["Cg"], meta["sg"]
+    clus_tab = jnp.zeros((C + Cg, mk.CLUS_LANES), jnp.float32)
+    clus_tab = clus_tab.at[:C, mk.K_MINX:mk.K_MINZ + 1].set(lmin)
+    clus_tab = clus_tab.at[:C, mk.K_MAXX:mk.K_MAXZ + 1].set(lmax)
+    if Cg:
+        padg = Cg * sg - C
+        gmin = jnp.pad(lmin, ((0, padg), (0, 0)),
+                       constant_values=np.inf).reshape(Cg, sg, 3).min(1)
+        gmax = jnp.pad(lmax, ((0, padg), (0, 0)),
+                       constant_values=-np.inf).reshape(Cg, sg, 3).max(1)
+        clus_tab = clus_tab.at[C:, mk.K_MINX:mk.K_MINZ + 1].set(gmin)
+        clus_tab = clus_tab.at[C:, mk.K_MAXX:mk.K_MAXZ + 1].set(gmax)
+
+    # ---- rect table (rows static via meta["rect_rows"]) ----
+    rects = scene.rects
+    R = meta["R"]
+    rect_tab = jnp.zeros((max(R, 1), mk.RECT_LANES), jnp.float32)
+    if R:
+        rr = np.asarray(meta["rect_rows"], np.int64)
+        rj = jnp.asarray(rr)
+        a0 = jnp.take(rects.a0, rj)
+        a1 = jnp.take(rects.a1, rj)
+        b0 = jnp.take(rects.b0, rj)
+        b1 = jnp.take(rects.b1, rj)
+        kk = jnp.take(rects.k, rj)
+        ct = jnp.take(rects.cos_t, rj)
+        st_ = jnp.take(rects.sin_t, rj)
+        off = jnp.take(rects.offset, rj, axis=0)
+        fl = jnp.take(rects.flip, rj)
+        ax_np = np.asarray(base.rects.axis, np.int64)[rr]
+        mi = np.asarray(base.rects.mat, np.int64)[rr]
+        ti_r = np.asarray(base.materials.tex, np.int64)[mi]
+        tt_r = ttype_np[ti_r]
+        # object normal by static axis code * traced flip, rotated
+        n_ox = fl * jnp.asarray((ax_np == 2).astype(np.float32))
+        n_oy = fl * jnp.asarray((ax_np == 1).astype(np.float32))
+        n_oz = fl * jnp.asarray((ax_np == 0).astype(np.float32))
+        nwx = ct * n_ox + st_ * n_oz
+        nwz = -st_ * n_ox + ct * n_oz
+        da = a1 - a0
+        db = b1 - b0
+        ida = jnp.where(da != 0.0,
+                        1.0 / jnp.where(da != 0.0, da, 1.0), 0.0)
+        idb = jnp.where(db != 0.0,
+                        1.0 / jnp.where(db != 0.0, db, 1.0), 0.0)
+        alb_r = jnp.take(tex.color, jnp.asarray(ti_r), axis=0)
+        chk_m = jnp.asarray((tt_r == st.TEX_CHECKER)
+                            .astype(np.float32))
+        ev_r = jnp.take(tex.color, jnp.asarray(
+            np.asarray(base.textures.even, np.int64)[ti_r]), axis=0)
+        od_r = jnp.take(tex.color, jnp.asarray(
+            np.asarray(base.textures.odd, np.int64)[ti_r]), axis=0)
+        noi_r = jnp.asarray(np.where(tt_r == st.TEX_NOISE,
+                                     1.0 + nmode_np[ti_r], 0.0)
+                            .astype(np.float32))
+        nsc_r = jnp.where(jnp.asarray(tt_r == st.TEX_NOISE),
+                          jnp.take(tex.scale, jnp.asarray(ti_r)), 0.0)
+        img_r = jnp.asarray(np.where(
+            tt_r == st.TEX_IMAGE,
+            1.0 + np.asarray(base.textures.image_id)[ti_r],
+            0.0).astype(np.float32))
+        for lane, v in ((mk.RT_A0, a0), (mk.RT_A1, a1), (mk.RT_B0, b0),
+                        (mk.RT_B1, b1), (mk.RT_K, kk), (mk.RT_COS, ct),
+                        (mk.RT_SIN, st_),
+                        (mk.RT_OFFX, off[:, 0]), (mk.RT_OFFY, off[:, 1]),
+                        (mk.RT_OFFZ, off[:, 2]),
+                        (mk.RT_NX, nwx), (mk.RT_NY, n_oy),
+                        (mk.RT_NZ, nwz),
+                        (mk.RT_MTYPE, jnp.asarray(
+                            np.asarray(base.materials.mtype)[mi]
+                            .astype(np.float32))),
+                        (mk.RT_ALBX, alb_r[:, 0]),
+                        (mk.RT_ALBY, alb_r[:, 1]),
+                        (mk.RT_ALBZ, alb_r[:, 2]),
+                        (mk.RT_FUZZ, jnp.take(mats.fuzz,
+                                              jnp.asarray(mi))),
+                        (mk.RT_RIDX, jnp.take(mats.ref_idx,
+                                              jnp.asarray(mi))),
+                        (mk.RT_CHK, chk_m),
+                        (mk.RT_EVENX, ev_r[:, 0] * chk_m),
+                        (mk.RT_EVENY, ev_r[:, 1] * chk_m),
+                        (mk.RT_EVENZ, ev_r[:, 2] * chk_m),
+                        (mk.RT_ODDX, od_r[:, 0] * chk_m),
+                        (mk.RT_ODDY, od_r[:, 1] * chk_m),
+                        (mk.RT_ODDZ, od_r[:, 2] * chk_m),
+                        (mk.RT_NOI, noi_r), (mk.RT_NSC, nsc_r),
+                        (mk.RT_IMG, img_r),
+                        (mk.RT_IDA, ida), (mk.RT_IDB, idb)):
+            rect_tab = rect_tab.at[:R, lane].set(v)
+
+    # ---- light table (kinds/rows static) ----
+    L = meta["L"]
+    light_tab = jnp.zeros((max(L, 1), mk.LIGHT_LANES), jnp.float32)
+    for i in range(L):
+        li = int(meta["light_rows"][i])
+        if meta["light_kinds"][i] == st.LIGHT_RECT:
+            la0, la1 = rects.a0[li], rects.a1[li]
+            lb0, lb1 = rects.b0[li], rects.b1[li]
+            for lane, v in ((mk.LT_A0, la0), (mk.LT_A1, la1),
+                            (mk.LT_B0, lb0), (mk.LT_B1, lb1),
+                            (mk.LT_K, rects.k[li]),
+                            (mk.LT_COS, rects.cos_t[li]),
+                            (mk.LT_SIN, rects.sin_t[li]),
+                            (mk.LT_OFFX, rects.offset[li, 0]),
+                            (mk.LT_OFFY, rects.offset[li, 1]),
+                            (mk.LT_OFFZ, rects.offset[li, 2]),
+                            (mk.LT_AREA, (la1 - la0) * (lb1 - lb0))):
+                light_tab = light_tab.at[i, lane].set(v)
+        else:
+            for lane, v in ((mk.LT_CX, sph.center0[li, 0]),
+                            (mk.LT_CY, sph.center0[li, 1]),
+                            (mk.LT_CZ, sph.center0[li, 2]),
+                            (mk.LT_RAD, sph.radius[li])):
+                light_tab = light_tab.at[i, lane].set(v)
+
+    # ---- medium table (rows/kinds static) ----
+    V = meta["V"]
+    media = scene.media
+    med_tab = jnp.zeros((max(V, 1), mk.MED_LANES), jnp.float32)
+    if V:
+        vr = np.asarray(meta["med_rows"], np.int64)
+        vj = jnp.asarray(vr)
+        p0 = jnp.take(media.p0, vj, axis=0)
+        p1 = jnp.take(media.p1, vj, axis=0)
+        moff = jnp.take(media.offset, vj, axis=0)
+        mi_v = np.asarray(base.media.mat, np.int64)[vr]
+        ti_v = np.asarray(base.materials.tex, np.int64)[mi_v]
+        tt_v = ttype_np[ti_v]
+        alb_v = jnp.take(tex.color, jnp.asarray(ti_v), axis=0)
+        noi_v = jnp.asarray(np.where(tt_v == st.TEX_NOISE,
+                                     1.0 + nmode_np[ti_v], 0.0)
+                            .astype(np.float32))
+        nsc_v = jnp.where(jnp.asarray(tt_v == st.TEX_NOISE),
+                          jnp.take(tex.scale, jnp.asarray(ti_v)), 0.0)
+        img_v = jnp.asarray(np.where(
+            tt_v == st.TEX_IMAGE,
+            1.0 + np.asarray(base.textures.image_id)[ti_v],
+            0.0).astype(np.float32))
+        for lane, v in ((mk.MD_P0X, p0[:, 0]), (mk.MD_P0Y, p0[:, 1]),
+                        (mk.MD_P0Z, p0[:, 2]), (mk.MD_P1X, p1[:, 0]),
+                        (mk.MD_P1Y, p1[:, 1]), (mk.MD_P1Z, p1[:, 2]),
+                        (mk.MD_COS, jnp.take(media.cos_t, vj)),
+                        (mk.MD_SIN, jnp.take(media.sin_t, vj)),
+                        (mk.MD_OFFX, moff[:, 0]),
+                        (mk.MD_OFFY, moff[:, 1]),
+                        (mk.MD_OFFZ, moff[:, 2]),
+                        (mk.MD_NIRHO,
+                         -1.0 / jnp.take(media.density, vj)),
+                        (mk.MD_ALBX, alb_v[:, 0]),
+                        (mk.MD_ALBY, alb_v[:, 1]),
+                        (mk.MD_ALBZ, alb_v[:, 2]),
+                        (mk.MD_NOI, noi_v), (mk.MD_NSC, nsc_v),
+                        (mk.MD_IMG, img_v)):
+            med_tab = med_tab.at[:V, lane].set(v)
+
+    # ---- image atlas (hi/lo-bf16 planes, same layout as build_tables) ----
+    if meta["has_image"]:
+        n_img, Hp, Wp = meta["n_img"], meta["img_hp"], meta["img_wp"]
+        imgs = tex.images.astype(jnp.float32)          # (I, Hm, Wm, 3)
+        h_m, w_m = imgs.shape[1], imgs.shape[2]
+        hi = imgs.astype(jnp.bfloat16)
+        lo = (imgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        planes = jnp.concatenate([hi.transpose(0, 3, 1, 2),
+                                  lo.transpose(0, 3, 1, 2)],
+                                 axis=1)               # (I, 6, Hm, Wm)
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, Hp - h_m),
+                                  (0, Wp - w_m)))
+        img_tab = planes.reshape(n_img * 6 * Hp, Wp)
+    else:
+        img_tab = jnp.zeros((16, 128), jnp.bfloat16)
+
+    cam = scene.camera
+    cam_vec = jnp.zeros((1, 128), jnp.float32)
+    for lane, v in ((mk.CAM_OX, cam.origin),
+                    (mk.CAM_LLX, cam.lower_left_corner),
+                    (mk.CAM_HX, cam.horizontal),
+                    (mk.CAM_VX, cam.vertical),
+                    (mk.CAM_UX, cam.u), (mk.CAM_WX, cam.v)):
+        cam_vec = cam_vec.at[0, lane:lane + 3].set(
+            jnp.asarray(v, jnp.float32))
+    cam_vec = cam_vec.at[0, mk.CAM_LENS].set(cam.lens_radius)
+    cam_vec = cam_vec.at[0, mk.CAM_T0].set(cam.time0)
+    cam_vec = cam_vec.at[0, mk.CAM_T1].set(cam.time1)
+
+    return (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab,
+            img_tab, cam_vec)
 
 
 def render_diff_mega(scene: st.Scene, key, nx: int, ny: int, spp: int,
@@ -926,53 +1239,210 @@ def render_diff_mega(scene: st.Scene, key, nx: int, ny: int, spp: int,
     return image, partial(replay, tape=tape, seed_arr=seed)
 
 
+def _tape_launch(tabs8, pixf, seed, cfg, n_tiles, interpret):
+    """Kernel tape launch from (already stop-gradient'd) traced tables."""
+    (sph_t, attr_t, clus_t, rect_t, light_t, med_t, img_t, cam_v) = tabs8
+    out = mk._mega_call(pixf, cam_v, sph_t, attr_t, clus_t, rect_t,
+                        light_t, med_t, jnp.asarray(mk._PERM_B),
+                        jnp.asarray(mk._RV_HI), jnp.asarray(mk._RV_LO),
+                        img_t, seed, cfg=cfg, n_tiles=n_tiles,
+                        interpret=interpret)
+    return out[:, 8:, :]                      # (n_tiles, n_iters, T)
+
+
 def fit_scene_params_mega(scene: st.Scene, target, *, get_params,
                           set_params, key, nx: int, ny: int, spp: int,
                           max_depth: int = 8, steps: int = 50,
                           lr: float = 0.05, T: int = 1024,
                           postprocess=None, log_fn=None,
-                          interpret: bool | None = None):
-    """Inverse rendering on the megakernel path: per step, ONE tape-mode
-    kernel launch at the current params (re-freezing the path decisions)
-    plus one jit'd replay value_and_grad — the mega-backed counterpart of
-    grad.fit_scene_params. Returns (fitted scene, final loss)."""
+                          interpret: bool | None = None, mesh=None):
+    """Inverse rendering on the megakernel path, fully device-resident:
+    the WHOLE optimization (per step: traced table rebuild at the current
+    params -> one tape-mode kernel launch re-freezing the path decisions
+    -> one replay value_and_grad -> the Adam update) runs as a single
+    lax.scan inside one jit. Round 3's loop re-taped eagerly on the host
+    — build_tables + 8 device uploads per step through a ~28 ms-per-
+    transfer tunnel measured as ~2x the step itself
+    (docs/inverse_render_tpu_r03.json); build_tables_traced removes every
+    per-step host round-trip. Returns (fitted scene, final loss).
+
+    `postprocess` (if given) runs inside the jit — it must be traceable.
+    `log_fn(i, loss)` is called after the fit with the recorded per-step
+    losses (the loop itself never syncs with the host).
+
+    With `mesh` (a (dp, sp) jax.sharding.Mesh), the step is sharded:
+    image row-tiles over "dp", samples over "sp" (each sp shard traces
+    spp/sp samples under its own seed), one psum of the radiance lanes
+    over "sp" and of the squared error over "dp", gradients pmean'd by
+    the same psums' transposes — BASELINE.md's inverse-rendering axis at
+    multi-chip scale (reference math: material.h:142-225)."""
     import optax
 
     if interpret is None:
         interpret = jax.default_backend() in ("cpu", "gpu")
-    ctx = plan_tape(scene, nx, ny, spp, max_depth=max_depth, T=T)
+    opt = optax.adam(lr)
+    params0 = get_params(scene)
+    target = jnp.asarray(target, jnp.float32)
+    seed = jax.random.randint(key, (1, 1), 0, np.int32(2 ** 31 - 1),
+                              dtype=jnp.int32)
+    base = scene
+
+    if mesh is not None:
+        vg, aux = make_sharded_value_and_grad(
+            scene, mesh, target, nx=nx, ny=ny, spp=spp,
+            max_depth=max_depth, T=T, set_params=set_params,
+            interpret=interpret)
+
+        def one_step(carry, _):
+            params, opt_state = carry
+            loss, g = vg(params, seed)
+            updates, opt_state = opt.update(g, opt_state)
+            params = optax.apply_updates(params, updates)
+            if postprocess is not None:
+                params = postprocess(params)
+            return (params, opt_state), loss
+
+        @jax.jit
+        def run(p0, s0):
+            return lax.scan(one_step, (p0, s0), None, length=steps)
+
+        (params, _), losses = run(params0, opt.init(params0))
+    else:
+        ctx = plan_tape(scene, nx, ny, spp, max_depth=max_depth, T=T)
+        replay = make_replay(ctx)
+        cfg, n_tiles, pixf = ctx["cfg"], ctx["n_tiles"], ctx["pixf"]
+        meta = ctx["meta"]
+
+        def one_step(carry, _):
+            params, opt_state = carry
+            tabs8 = jax.tree_util.tree_map(
+                lax.stop_gradient,
+                build_tables_traced(set_params(base, params), base, meta))
+            tape = _tape_launch(tabs8, pixf, seed, cfg, n_tiles, interpret)
+
+            def loss_fn(p):
+                img = replay(set_params(base, p), tape, seed)
+                return jnp.mean((img - target) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(g, opt_state)
+            params = optax.apply_updates(params, updates)
+            if postprocess is not None:
+                params = postprocess(params)
+            return (params, opt_state), loss
+
+        @jax.jit
+        def run(p0, s0):
+            return lax.scan(one_step, (p0, s0), None, length=steps)
+
+        (params, _), losses = run(params0, opt.init(params0))
+
+    losses = np.asarray(losses)
+    if log_fn is not None:
+        for i in range(steps):
+            log_fn(i, float(losses[i]))
+    return set_params(scene, params), float(losses[-1])
+
+
+# distinct per-shard RNG stream offsets (any odd constants work: the
+# in-kernel lowbias32 hash fully avalanches the seed)
+_DP_SEED = np.int32(7919)
+_SP_SEED = np.int32(104729)
+
+
+def make_sharded_value_and_grad(scene: st.Scene, mesh, target, *, nx: int,
+                                ny: int, spp: int, max_depth: int = 8,
+                                T: int = 1024, set_params,
+                                interpret: bool | None = None):
+    """Build the (dp, sp)-sharded tape+replay value_and_grad:
+    vg(params, seed) -> (loss, grads), both replicated. Per device: its
+    row tile's tape-mode kernel launch (spp/sp samples, per-shard seed),
+    its replay lanes, one psum of lanes over "sp" (the spp-sharded pixel
+    accumulation of SURVEY.md §2.3), one psum of squared error over "dp",
+    and a psum-transpose gradient all-reduce over both axes. Also returns
+    an aux dict (ctx pieces) for tests."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    assert ny % dp == 0, f"ny={ny} must divide by dp={dp}"
+    assert spp % sp == 0, f"spp={spp} must divide by sp={sp}"
+    rows = ny // dp
+    spp_shard = spp // sp
+    # full-image cfg (camera u/v need absolute pixel coords and full ny);
+    # per-device pixel layout covers one rows-tall tile, j offset inside
+    # shard_map by the device's "dp" index (as render_sharded_mega does)
+    tabs, cfg, T_, _k = mk.make_plan(scene, nx, ny, spp_shard,
+                                     max_depth=max_depth, rr_depth=None,
+                                     T=T, tape=True)
+    meta = tabs[-1]
+    pixf_l, _inv = mk._pixel_layout(nx, rows, T_, 1)
+    n_tiles_l = pixf_l.shape[0]
+    ctx = dict(tabs=tabs, cfg=cfg, meta=meta, pixf=pixf_l, inv=None,
+               n_tiles=n_tiles_l, T=T_, nx=nx, ny=ny, spp=spp_shard,
+               max_depth=max_depth)
     replay = make_replay(ctx)
 
-    @jax.jit
-    def step_fn(params, base_scene, tape, seed):
-        def loss_fn(p):
-            img = replay(set_params(base_scene, p), tape, seed)
-            return jnp.mean((img - target) ** 2)
-        return jax.value_and_grad(loss_fn)(params)
+    # per-dp-shard target in lane layout (pad lanes zeroed)
+    pix_np = np.asarray(pixf_l)
+    ii = pix_np[:, 0, :].astype(np.int64)
+    jj = pix_np[:, 1, :].astype(np.int64)
+    val = pix_np[:, 2, :] > 0
+    tgt_np = np.asarray(target, np.float32)
+    tgt = np.zeros((dp, n_tiles_l, T_, 3), np.float32)
+    for di in range(dp):
+        tl = tgt_np[np.clip(jj + di * rows, 0, ny - 1),
+                    np.clip(ii, 0, nx - 1)]
+        tgt[di] = np.where(val[..., None], tl, 0.0)
+    tgt = jnp.asarray(tgt)
+    valid_l = jnp.asarray(val)
+    pixf_j = jnp.asarray(pixf_l)
+    base = scene
+    denom = float(ny * nx * 3)
+    spp_total = float(spp)
 
-    params = get_params(scene)
-    opt = optax.adam(lr)
-    opt_state = opt.init(params)
-    loss = None
-    cur = scene
-    for it in range(steps):
-        # One key for every step keeps the per-step loss deterministic in
-        # the params (the fixed-sample objective gradient descent actually
-        # minimizes); pass a pre-split key stream via `key` folding if
-        # fresh samples per step are wanted instead.
-        k = key
-        # re-tape at the current params: the kernel re-decides winners
-        _img, tape, seed = tape_forward(k, _retabbed(ctx, cur),
-                                        interpret=interpret)
-        loss, g = step_fn(params, cur, tape, seed)
-        updates, opt_state = opt.update(g, opt_state)
-        params = optax.apply_updates(params, updates)
-        if postprocess is not None:
-            params = postprocess(params)
-        cur = set_params(scene, params)
-        if log_fn is not None:
-            log_fn(it, float(loss))
-    return cur, float(loss)
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("dp"), P()), out_specs=(P(), P()),
+             check_vma=False)
+    def vg_sharded(params, tgt_sh, seed):
+        tgt_dev = tgt_sh[0]                        # (n_tiles_l, T, 3)
+        di = lax.axis_index("dp")
+        si = lax.axis_index("sp")
+        seed_dev = seed + di * _DP_SEED + si * _SP_SEED
+        pixf_dev = pixf_j.at[:, 1, :].add((di * rows)
+                                          .astype(jnp.float32))
+        tabs8 = jax.tree_util.tree_map(
+            lax.stop_gradient,
+            build_tables_traced(set_params(base, params), base, meta))
+        tape = _tape_launch(tabs8, pixf_dev, seed_dev, cfg, n_tiles_l,
+                            interpret)
+
+        def loss_fn(p):
+            lanes = replay.lanes(set_params(base, p), tape, seed_dev,
+                                 pixf_dev)
+            img = lax.psum(lanes, "sp") / spp_total
+            diff = jnp.where(valid_l[..., None], img - tgt_dev, 0.0)
+            return lax.psum(jnp.sum(diff * diff), "dp") / denom
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        # the in-loss psums transpose to psums, so g is ALREADY the full
+        # cross-shard gradient on every device (verified against the
+        # sequential emulation in tests); pmean is the idempotent
+        # all-reduce that keeps it replicated without re-summing
+        g = jax.tree_util.tree_map(
+            lambda x: lax.pmean(lax.pmean(x, "dp"), "sp"), g)
+        return loss, g
+
+    def vg(params, seed):
+        return vg_sharded(params, tgt, seed)
+
+    aux = dict(ctx=ctx, replay=replay, pixf_l=pixf_j, tgt=tgt,
+               valid=valid_l, rows=rows, spp_shard=spp_shard, dp=dp,
+               sp=sp, cfg=cfg, meta=meta, n_tiles_l=n_tiles_l)
+    return vg, aux
 
 
 # meta fields the launch cfg was specialized on: a re-tape whose rebuilt

@@ -277,6 +277,26 @@ def test_fd_image_texels():
         np.testing.assert_allclose(fd, g[idx], rtol=3e-2, atol=1e-9)
 
 
+@pytest.mark.parametrize("name", ["random_balls", "cornell_box",
+                                  "cornell_smoke", "two_perlin_spheres",
+                                  "earth", "light_sample"])
+def test_build_tables_traced_matches_eager(name):
+    """The traced table builder (device-resident inverse rendering)
+    reproduces megakernel.build_tables bit-for-bit under the pinned
+    layout — same pad fills, guarded reciprocals, cluster AABBs, and
+    hi/lo-bf16 atlas planes."""
+    scene = make_scene(name, 1.0)
+    ctx = mg.plan_tape(scene, 8, 8, 2, max_depth=3, T=128)
+    eager = ctx["tabs"][:8]
+    traced = jax.jit(lambda sc: mg.build_tables_traced(
+        sc, scene, ctx["meta"]))(scene)
+    names = ("sph", "attr", "clus", "rect", "light", "med", "img", "cam")
+    for nm, a, b in zip(names, eager, traced):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            err_msg=f"{name}:{nm}")
+
+
 def test_retab_pins_slot_layout():
     """Geometry updates must not reshuffle tape slot codes mid-fit
     (ADVICE r3 medium): build_tables' Morton sort and biggest-radius
@@ -308,6 +328,98 @@ def test_retab_pins_slot_layout():
     img2 = mg.make_replay(ctx)(moved, tape, seed)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img2),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_mega_grad_matches_single_device():
+    """The (dp, sp)-sharded tape+replay value_and_grad (VERDICT r3 #3)
+    equals a single-device emulation that runs each shard's tape/replay
+    sequentially and combines them with the same arithmetic — pinning the
+    psum plumbing (lanes over sp, squared error over dp, grad transpose
+    over both) to the math it claims to distribute."""
+    from raytracingweekend_tpu.parallel.mesh import make_mesh
+
+    dp, sp = 2, 2
+    scene = make_scene("cornell_box", 1.0)
+    nx, ny, spp, md, T = 12, 12, 4, 3, 128
+    key = jax.random.key(0)
+    target = jnp.zeros((ny, nx, 3), jnp.float32)
+    set_p = lambda sc, p: sc.replace(
+        textures=sc.textures.replace(color=p))
+    mesh = make_mesh(dp, sp)
+    vg, aux = mg.make_sharded_value_and_grad(
+        scene, mesh, target, nx=nx, ny=ny, spp=spp, max_depth=md, T=T,
+        set_params=set_p, interpret=True)
+    seed = jax.random.randint(key, (1, 1), 0, np.int32(2 ** 31 - 1),
+                              dtype=jnp.int32)
+    params = scene.textures.color
+    loss_sh, g_sh = jax.jit(vg)(params, seed)
+
+    # single-device emulation with the identical per-shard seeds/layout
+    ctx, replay = aux["ctx"], aux["replay"]
+    rows, n_tiles_l = aux["rows"], aux["n_tiles_l"]
+    pixf_l, tgt, valid = aux["pixf_l"], aux["tgt"], aux["valid"]
+
+    def emu_loss(p):
+        total = 0.0
+        for di in range(dp):
+            pixf_dev = pixf_l.at[:, 1, :].add(float(di * rows))
+            img = 0.0
+            for si in range(sp):
+                seed_dev = (seed + np.int32(di) * mg._DP_SEED
+                            + np.int32(si) * mg._SP_SEED)
+                tabs8 = jax.tree_util.tree_map(
+                    jax.lax.stop_gradient,
+                    mg.build_tables_traced(set_p(scene, p), scene,
+                                           ctx["meta"]))
+                tape = mg._tape_launch(tabs8, pixf_dev, seed_dev,
+                                       ctx["cfg"], n_tiles_l, True)
+                img = img + replay.lanes(set_p(scene, p), tape,
+                                         seed_dev, pixf_dev)
+            img = img / float(spp)
+            diff = jnp.where(valid[..., None], img - tgt[di], 0.0)
+            total = total + jnp.sum(diff * diff)
+        return total / float(ny * nx * 3)
+
+    loss_emu, g_emu = jax.value_and_grad(emu_loss)(params)
+    np.testing.assert_allclose(float(loss_sh), float(loss_emu),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_emu),
+                               rtol=1e-5, atol=1e-8)
+    assert float(jnp.abs(g_sh).sum()) > 0.0
+
+
+def test_fit_scene_params_mega_converges_mesh():
+    """fit_scene_params_mega(mesh=...) trains the megakernel under a
+    (2, 2) mesh: wall-color recovery converges, completing BASELINE.md's
+    inverse-rendering axis at scale."""
+    from raytracingweekend_tpu.parallel.mesh import make_mesh
+
+    scene = make_scene("cornell_box", 1.0)
+    key = jax.random.key(0)
+    mesh = make_mesh(2, 2)
+    ctx = mg.plan_tape(scene, 12, 12, 4, max_depth=4, T=256)
+    target, _, _ = mg.tape_forward(key, ctx, interpret=True)
+    bad = scene.replace(textures=scene.textures.replace(
+        color=scene.textures.color.at[1].set(
+            jnp.asarray([0.2, 0.2, 0.2]))))
+    losses = []
+    fitted, final = mg.fit_scene_params_mega(
+        bad, target,
+        get_params=lambda sc: sc.textures.color,
+        set_params=lambda sc, p: sc.replace(
+            textures=sc.textures.replace(color=p)),
+        key=key, nx=12, ny=12, spp=4, max_depth=4, T=256,
+        steps=25, lr=0.08,
+        postprocess=lambda p: jnp.clip(p, 0.0, None),
+        log_fn=lambda i, l: losses.append(l), interpret=True, mesh=mesh)
+    # the sharded estimator samples different (seed, layout) streams than
+    # the single-device target render, so the loss has an MC noise floor;
+    # what must hold is steady descent and parameter recovery
+    assert final < losses[0] * 0.75, (losses[0], final)
+    rec = np.asarray(fitted.textures.color[1])
+    ref = np.asarray(scene.textures.color[1])
+    assert np.abs(rec - ref).max() < 0.25, (rec, ref)
+    assert np.abs(rec - ref).max() < np.abs(0.2 - ref.max()) * 0.5
 
 
 def test_fit_scene_params_mega_converges():
