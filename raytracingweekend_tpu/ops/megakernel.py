@@ -358,10 +358,12 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             light_ref, med_ref, nperm_ref, nrvh_ref, nrvl_ref, img_ref,
             seed_ref, out_ref, *scratch, cfg):
     """One tile: T per-pixel slots, each tracing cfg.spp full paths."""
-    af_ref = tc_ref = vote_ref = None
+    af_ref = tc_ref = vote_ref = ids_ref = None
     scratch = list(scratch)
-    if cfg.batch_votes:
+    if cfg.batch_votes or cfg.dyn:
         vote_ref = scratch.pop(0)
+    if cfg.dyn:
+        ids_ref = scratch.pop()            # SMEM survivor-id list
     if cfg.fe:
         af_ref, sf_ref = scratch
     elif cfg.idx_extract:
@@ -557,8 +559,8 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     & (tlo * (1.0 - 2.4e-7)
                        < sf_ref[R_BEST:R_BEST + 1, :]) & active)
 
-        def sweep_cluster(c):
-            if cfg.cull and not cfg.batch_votes:
+        def sweep_cluster(c, force=False):
+            if cfg.cull and not cfg.batch_votes and not force:
                 amask = slab_mask(c)
             # Static clusters/axes skip their motion FMAs: clus_moving is a
             # per-cluster (x, y, z) any-moving triple, so e.g. book-1's
@@ -690,11 +692,12 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     sf_ref[R_BLK:R_BLK + 1, sl] = (
                         sf_ref[R_BLK:R_BLK + 1, sl] + 1.0)
 
-                if not cfg.cull:
-                    # Vote-free mode: every block runs unconditionally —
-                    # on-chip sweeps measured the pl.when vote costing more
-                    # than the skipped quadratic work saves on the book-1
-                    # scene (144 dense vs 86-136 M seg/s culled); blocking
+                if not cfg.cull or force:
+                    # Vote-free mode (or a dyn-mode warm-start cluster):
+                    # every block runs unconditionally — on-chip sweeps
+                    # measured the pl.when vote costing more than the
+                    # skipped quadratic work saves on the book-1 scene
+                    # (144 dense vs 86-136 M seg/s culled); blocking
                     # still bounds the (SB, W) register intermediates.
                     blk()
                     continue
@@ -713,7 +716,178 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                         tc_ref[lo:lo + SB, sl] = jnp.full((SB, W), BIG,
                                                           jnp.float32)
 
-        if cfg.sg and run_spheres:
+        if cfg.dyn and run_spheres:
+            # ---- dynamic survivor-list sweep (round-4 large-S design,
+            # VERDICT r3 #1). Per lane-chunk: one batched (C, W) slab block
+            # -> geometric votes; a scalar compaction loop writes surviving
+            # cluster ids to SMEM; ONE fori_loop with a RUNTIME trip count
+            # sweeps only survivors through dynamic VMEM slices (Mosaic
+            # feasibility proven on-chip:
+            # tools/mosaic_repros/repro_dynamic_cull.py). A non-survivor
+            # costs ~4 scalar ops here instead of the cross-lane reduce ->
+            # scalar -> vector-branch chain of the interleaved vote
+            # (measured ~60% of the 14.4k-sphere iteration: 15.9 -> 33.2 M
+            # seg/s whole-tile). Each survivor is re-voted against the
+            # CURRENT running best before its sweep — the batched votes are
+            # geometric-only (R_BEST is BIG at vote time; measured survival
+            # 0.364 vs 0.186 tightened at 14.4k), and the re-vote chain is
+            # paid per geometric survivor, not per cluster. Chunked votes
+            # (NCH > 1) cut sweep work further (whole-tile any() keeps
+            # blocks a coherent sub-group never touches: measured survival
+            # 0.186 -> 0.114 at NCH=4, 0.093 at NCH=8). Survivors are
+            # visited in ascending Morton id, the same order as the static
+            # sweep, so strictly-better merges resolve ties identically.
+
+            # Conservative per-axis motion flags: a runtime cluster id
+            # cannot select its static per-cluster (x, y, z) triple, so
+            # every survivor pays the union of all clusters' moving axes.
+            dmov = (tuple(any(m[ax] for m in cfg.clus_moving)
+                          for ax in range(3)) if cfg.moving
+                    else (False, False, False))
+            DEE = cfg.fe
+            for ch in range(NCH):
+                sl = slice(ch * W, (ch + 1) * W)
+                # Chunk ray rows re-loaded from the ref (W-aligned ref
+                # loads come back tile-aligned; slicing full-width register
+                # vectors instead trips the Mosaic broadcast-layout hazard
+                # noted in blk above).
+                if NCH > 1:
+                    ox_c = sf_ref[R_OX:R_OX + 1, sl]
+                    oy_c = sf_ref[R_OY:R_OY + 1, sl]
+                    oz_c = sf_ref[R_OZ:R_OZ + 1, sl]
+                    dx_c = sf_ref[R_DX:R_DX + 1, sl]
+                    dy_c = sf_ref[R_DY:R_DY + 1, sl]
+                    dz_c = sf_ref[R_DZ:R_DZ + 1, sl]
+                    idx_c = 1.0 / dx_c
+                    idy_c = 1.0 / dy_c
+                    idz_c = 1.0 / dz_c
+                    act_c = pixf_ref[0, 2:3, sl] > 0.0
+                    if cfg.tape:
+                        act_c = act_c & (sf_ref[R_DONE:R_DONE + 1, sl]
+                                         < spp)
+                else:
+                    ox_c, oy_c, oz_c = ox, oy, oz
+                    dx_c, dy_c, dz_c = dx, dy, dz
+                    idx_c, idy_c, idz_c = idx_, idy_, idz_
+                    act_c = active
+
+                # ---- batched geometric votes: all C slab tests as one
+                # (C, W) vectorized block + ONE row-reduce ----
+                bminx = clus_ref[:C, K_MINX:K_MINX + 1]
+                bmaxx = clus_ref[:C, K_MAXX:K_MAXX + 1]
+                bminy = clus_ref[:C, K_MINY:K_MINY + 1]
+                bmaxy = clus_ref[:C, K_MAXY:K_MAXY + 1]
+                bminz = clus_ref[:C, K_MINZ:K_MINZ + 1]
+                bmaxz = clus_ref[:C, K_MAXZ:K_MAXZ + 1]
+                btx0 = (bminx - ox_c) * idx_c
+                btx1 = (bmaxx - ox_c) * idx_c
+                bty0 = (bminy - oy_c) * idy_c
+                bty1 = (bmaxy - oy_c) * idy_c
+                btz0 = (bminz - oz_c) * idz_c
+                btz1 = (bmaxz - oz_c) * idz_c
+                btlo = jnp.maximum(jnp.maximum(jnp.minimum(btx0, btx1),
+                                               jnp.minimum(bty0, bty1)),
+                                   jnp.maximum(jnp.minimum(btz0, btz1),
+                                               t_min))
+                bthi = jnp.minimum(jnp.minimum(jnp.maximum(btx0, btx1),
+                                               jnp.maximum(bty0, bty1)),
+                                   jnp.maximum(btz0, btz1))
+                bamask = (btlo <= bthi) & act_c
+                vote_ref[:, 0:1] = jnp.any(bamask, axis=1,
+                                           keepdims=True).astype(jnp.float32)
+
+                # ---- scalar compaction: surviving cluster ids -> SMEM ----
+                def compact(c, cnt):
+                    vote = vote_ref[c, 0] > 0.0
+
+                    def store():
+                        ids_ref[cnt] = c
+
+                    pl.when(vote)(store)
+                    return cnt + jnp.where(vote, 1, 0).astype(jnp.int32)
+
+                n_surv = jax.lax.fori_loop(0, C, compact, jnp.int32(0))
+
+                def dyn_sweep(lo, sl=sl):
+                    af_vals = af_ref[:, sl]
+                    for e0 in range(0, SB, DEE):
+                        sub = pl.ds(lo + e0, DEE)
+                        cx = sph_ref[sub, C_CX:C_CX + 1]
+                        cy = sph_ref[sub, C_CY:C_CY + 1]
+                        cz = sph_ref[sub, C_CZ:C_CZ + 1]
+                        if any(dmov):
+                            if cfg.uniform_time:
+                                frac = ((sf_ref[R_TIME:R_TIME + 1, sl]
+                                         - cfg.ut_t0) * cfg.ut_idt)
+                            else:
+                                frac = ((sf_ref[R_TIME:R_TIME + 1, sl]
+                                         - sph_ref[sub, C_T0:C_T0 + 1])
+                                        * sph_ref[sub, C_IDT:C_IDT + 1])
+                            if dmov[0]:
+                                cx = cx + frac * sph_ref[sub,
+                                                         C_DCX:C_DCX + 1]
+                            if dmov[1]:
+                                cy = cy + frac * sph_ref[sub,
+                                                         C_DCY:C_DCY + 1]
+                            if dmov[2]:
+                                cz = cz + frac * sph_ref[sub,
+                                                         C_DCZ:C_DCZ + 1]
+                        ocx = ox_c - cx
+                        ocy = oy_c - cy
+                        ocz = oz_c - cz
+                        b = ocx * dx_c + ocy * dy_c + ocz * dz_c
+                        cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                              - sph_ref[sub, C_R2:C_R2 + 1])
+                        disc = b * b - cc
+                        sq = jnp.sqrt(disc)
+                        tn = -b - sq
+                        tc = jnp.where(tn > t_min, tn, -b + sq)
+                        tcv = jnp.where(tc > t_min, tc, BIG)
+                        blk_min = jnp.min(tcv, axis=0, keepdims=True)
+                        old_best = sf_ref[R_BEST:R_BEST + 1, sl]
+                        upd = blk_min < old_best
+                        m_e = (tcv == blk_min).astype(jnp.float32)
+                        cand = jax.lax.dot_general(
+                            attr_ref[:, pl.ds(lo + e0, DEE)], m_e,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        af_vals = jnp.where(upd, cand, af_vals)
+                        sf_ref[R_BEST:R_BEST + 1, sl] = jnp.minimum(
+                            old_best, blk_min)
+                    af_ref[:, sl] = af_vals
+                    sf_ref[R_BLK:R_BLK + 1, sl] = (
+                        sf_ref[R_BLK:R_BLK + 1, sl] + 1.0)
+
+                def surv_body(si, carry, sl=sl):
+                    c = ids_ref[si]
+                    # Tightened re-vote against the CURRENT running best
+                    # (slab entry behind the closest hit already found
+                    # cannot win; same epsilon discipline as slab_mask).
+                    tx0 = (clus_ref[c, K_MINX] - ox_c) * idx_c
+                    tx1 = (clus_ref[c, K_MAXX] - ox_c) * idx_c
+                    ty0 = (clus_ref[c, K_MINY] - oy_c) * idy_c
+                    ty1 = (clus_ref[c, K_MAXY] - oy_c) * idy_c
+                    tz0 = (clus_ref[c, K_MINZ] - oz_c) * idz_c
+                    tz1 = (clus_ref[c, K_MAXZ] - oz_c) * idz_c
+                    tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                                  jnp.minimum(ty0, ty1)),
+                                      jnp.maximum(jnp.minimum(tz0, tz1),
+                                                  t_min))
+                    thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                                  jnp.maximum(ty0, ty1)),
+                                      jnp.maximum(tz0, tz1))
+                    amask = ((tlo <= thi)
+                             & (tlo * (1.0 - 2.4e-7)
+                                < sf_ref[R_BEST:R_BEST + 1, sl]) & act_c)
+
+                    def sweep():
+                        dyn_sweep(c * SB)
+
+                    pl.when(jnp.any(amask))(sweep)
+                    return carry
+
+                jax.lax.fori_loop(0, n_surv, surv_body, jnp.int32(0))
+        elif cfg.sg and run_spheres:
             # ---- two-level vote: ONE super-cluster slab test (union AABB
             # of cfg.sg Morton-consecutive clusters, rows [C:C+Cg] of the
             # table) gates the whole group's member votes + blocks. Exact:
@@ -2161,11 +2335,12 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
             (n_tiles, 8 + (cfg.n_iters if cfg.tape else 0), T), jnp.float32),
         scratch_shapes=(
             ([pltpu.VMEM((cfg.C, CLUS_LANES), jnp.float32)]
-             if cfg.batch_votes else [])
+             if (cfg.batch_votes or cfg.dyn) else [])
             + ([pltpu.VMEM((A_ROWS, T), jnp.float32)] if cfg.fe
                else [] if cfg.idx_extract
                else [pltpu.VMEM((S, T), jnp.float32)])
-            + [pltpu.VMEM((STATE_ROWS, T), jnp.float32)]),
+            + [pltpu.VMEM((STATE_ROWS, T), jnp.float32)]
+            + ([pltpu.SMEM((cfg.C,), jnp.int32)] if cfg.dyn else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         # The TPU-semantics interpreter (not the generic one) implements
@@ -2213,7 +2388,7 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
               fuse_extract: int | None = None, tape: bool = False,
               phase_stub: tuple = (), unroll: int | None = None,
               batch_votes: bool | None = None,
-              super_group: int = 0):
+              super_group: int = 0, dyn_cull: bool | None = None):
     """Host-side launch plan: packed tables + static kernel cfg for
     _mega_call at this geometry. Shared by trace_mega and the sharded
     multi-chip entry (parallel.mesh.render_sharded_mega, which passes the
@@ -2317,11 +2492,29 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
         cull = meta["C"] > 1
     if batch_votes is None:
         batch_votes = False  # interleaved votes measured faster (PERF.md)
+    if dyn_cull is None:
+        # Measured auto (docs/PERF.md round 4): the dynamic survivor-list
+        # sweep beats interleaved per-cluster votes from mid cluster
+        # counts up (+17% at C=15 and C=29, 2.1x at C=113) and loses ~5%
+        # at C=4 where survival is 0.93 and votes barely kill anything.
+        dyn_cull = meta["C"] >= 8 and not super_group
+    if dyn_cull:
+        # Dynamic survivor sweep needs fused extraction (no (S, T) scratch
+        # to BIG-fill on a skip), the running-best merge (cull), and a
+        # multi-cluster table; super-group unions would double-gate it.
+        assert not super_group, "dyn_cull and super_group are exclusive"
+        if not (fe and cull and meta["C"] > 1):
+            dyn_cull = False
+        else:
+            batch_votes = False  # dyn computes its own batched votes
+            # chunks stay: per-chunk survivor lists cut sweep work
+            # (measured survival 0.186 -> 0.114 at NCH=4 on 14.4k spheres)
     if batch_votes:
         chunks = 1  # batched votes are whole-tile
     if not cull:
         chunks = 1  # chunks only subdivide votes
         batch_votes = False
+        dyn_cull = False
     # every vote chunk must be a whole number of 128-lane registers
     chunks = max(1, min(chunks, T // 128))
     while chunks > 1 and (T % chunks or (T // chunks) % 128):
@@ -2330,7 +2523,8 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
                spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,
                chunks=chunks, idx_extract=idx_extract, cull=cull, eb=eb,
                fe=fe, tape=tape, stub=tuple(phase_stub),
-               batch_votes=batch_votes, sg=meta["sg"], Cg=meta["Cg"],
+               batch_votes=batch_votes, dyn=dyn_cull,
+               sg=meta["sg"], Cg=meta["Cg"],
                # Measured auto (docs/PERF.md): amortizing the while-loop's
                # cross-lane any() + scalar branch over 8 bounce iterations
                # is worth +41% on cornell-class scenes (647 -> 912 M seg/s,
@@ -2378,7 +2572,8 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                interpret: bool = False,
                return_stats: bool = False,
                phase_stub: tuple = (), unroll: int | None = None,
-               batch_votes: bool | None = None, super_group: int = 0):
+               batch_votes: bool | None = None, super_group: int = 0,
+               dyn_cull: bool | None = None):
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
     segment count). Host-side prep is eager (concrete scene required).
 
@@ -2405,7 +2600,7 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                                 fuse_extract=fuse_extract,
                                 phase_stub=phase_stub, unroll=unroll,
                                 batch_votes=batch_votes,
-                                super_group=super_group)
+                                super_group=super_group, dyn_cull=dyn_cull)
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
      cam_vec, meta) = tabs
     pixf, inv = _pixel_layout(nx, ny, T, k)

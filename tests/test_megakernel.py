@@ -393,6 +393,26 @@ def test_batch_votes_with_super_group_compiles_and_is_exact():
     assert float(sa) == float(sb_)
 
 
+def test_dyn_cull_is_bitwise_exact():
+    """Round-4 dynamic survivor-list sweep (SMEM cluster-id compaction +
+    runtime-trip fori over dynamic VMEM slices): votes and re-votes only
+    SKIP provably-losing clusters and survivors sweep in ascending Morton
+    id — the identical merge order — so radiance must be bitwise identical
+    to the interleaved-vote path. random_balls covers the conservative
+    motion flags (moving spheres); chunked variants pin the per-chunk
+    compaction."""
+    scene = make_scene("random_balls", 1.0)
+    base, sa = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=8, T=256,
+                             SB=128, cull=True, interpret=True)
+    for nch in (1, 2):
+        dyn, sd = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=8, T=256,
+                                SB=128, cull=True, dyn_cull=True,
+                                chunks=nch, interpret=True)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(dyn),
+                                      err_msg=f"chunks={nch}")
+        assert float(sa) == float(sd)
+
+
 def test_blocked_extraction_is_bitwise_exact():
     """Blocked idx-mode attribute extraction (cfg.eb < S: accumulated
     (A_ROWS, EB) x (EB, T) partial dots) must be bitwise identical to the
@@ -424,10 +444,15 @@ def test_make_plan_auto_heuristics():
 
     big = make_scene("random_balls_large", 1.5)
     # default: auto SB=128 Morton clusters + fused extraction; without a
-    # candidate scratch the tile stays at the T=2048 knee
+    # candidate scratch the tile stays at the T=2048 knee; from C >= 8 the
+    # dynamic survivor-list sweep replaces interleaved votes (round 4)
     _, cfg, T, _ = mk.make_plan(big, 1200, 800, 16)
-    assert (cfg.SB == 128 and cfg.C > 1 and cfg.cull is True
-            and cfg.fe == 128 and T == 2048)
+    assert (cfg.SB == 128 and cfg.C >= 8 and cfg.cull is True
+            and cfg.fe == 128 and T == 2048 and cfg.dyn is True)
+
+    # few-cluster tables keep the interleaved running-best votes
+    _, cfg, T, _ = mk.make_plan(rb, 1200, 800, 64, SB=128)
+    assert cfg.C == 4 and cfg.dyn is False
 
     # idx mode: full tile width survives; extraction is blocked at a
     # 128-multiple divisor of S

@@ -41,6 +41,8 @@ def main():
                     help="batched cluster votes (1/0, -1 = auto)")
     ap.add_argument("--sg", type=int, default=0,
                     help="super-cluster group size (0 = off)")
+    ap.add_argument("--dyn", type=int, default=-1,
+                    help="dynamic survivor-list sweep (1/0, -1 = auto)")
     ap.add_argument("--stats", action="store_true",
                     help="also report utilization and cull-survival rate")
     args = ap.parse_args()
@@ -65,6 +67,8 @@ def main():
                              batch_votes=(None if args.bv < 0
                                           else bool(args.bv)),
                              super_group=args.sg,
+                             dyn_cull=(None if args.dyn < 0
+                                       else bool(args.dyn)),
                              return_stats=True)
 
     key = jax.random.key(0)
