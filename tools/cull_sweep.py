@@ -5,10 +5,11 @@
         --spp 64 --configs 512:1 64:8 64:8:1 32:8:1:4096 512:1:1:2048:0 \
         512:1:1:2048:1:512
 
-Config spec is SB:chunks[:idx[:T[:cull[:eb]]]] — idx=1 switches on
+Config spec is SB:chunks[:idx[:T[:cull[:eb[:dyn]]]]] — idx=1 switches on
 index-based winner extraction (no (S,T) scratch), T overrides the tile
 width, cull=0/1 forces vote-free/voted blocking (empty = auto), eb forces
-the idx extraction block size (128-multiple divisor of S).
+the idx extraction block size (128-multiple divisor of S), dyn=0/1 forces
+the dynamic survivor-list sweep off/on (empty = auto, C >= 8).
 One process = one TPU job (tunnel discipline) and the runtime init is paid
 once; each config still compiles its own kernel (server-side, cached in
 .jax_cache). Reports M segments/s, lane utilization, and cull-survival rate
@@ -36,6 +37,8 @@ def main():
     ap.add_argument("--configs", nargs="+", default=["512:1", "64:1", "64:8"],
                     help="SB:chunks[:idx[:T]] specs (idx=1 -> index-based "
                          "winner extraction; T = per-config tile width)")
+    ap.add_argument("--json", default="", help="append one JSON line per "
+                    "config here (the committed-artifact form)")
     args = ap.parse_args()
 
     import jax
@@ -57,12 +60,14 @@ def main():
                 and parts[4] != "" else None)
         eb = (int(parts[5]) if len(parts) > 5 and parts[5] != ""
               else None)
+        dyn = (bool(int(parts[6])) if len(parts) > 6 and parts[6] != ""
+               else None)
 
         def launch(k):
             return mk.trace_mega(k, scene, args.nx, args.ny, args.spp,
                                  max_depth=args.max_depth, T=T_cfg,
                                  SB=SB, chunks=chunks, idx_extract=idx,
-                                 cull=cull, extract_block=eb,
+                                 cull=cull, extract_block=eb, dyn_cull=dyn,
                                  return_stats=True)
 
         t_c = time.perf_counter()
@@ -87,7 +92,7 @@ def main():
                                         max_depth=args.max_depth, T=T_cfg,
                                         SB=SB, chunks=chunks,
                                         idx_extract=idx, cull=cull,
-                                        extract_block=eb)
+                                        extract_block=eb, dyn_cull=dyn)
         C = cfg.C
         surv = blocks / max(iters * C, 1.0)
         print(f"SB={SB:<4d} chunks={chunks:<3d} idx={int(idx)} "
@@ -97,6 +102,18 @@ def main():
               f"util={total / max(iters, 1.0):.3f} "
               f"cull_survival={surv:.3f} (C={C})  "
               f"[warm {c_dt:.0f}s, timed {dt:.2f}s]", flush=True)
+        if args.json:
+            import json
+            with open(args.json, "a") as f:
+                f.write(json.dumps({
+                    "scene": args.scene, "nx": args.nx, "ny": args.ny,
+                    "spp": args.spp, "SB": SB, "chunks": chunks,
+                    "idx": int(idx), "cull": int(cfg.cull),
+                    "dyn": int(getattr(cfg, "dyn", False)),
+                    "eb": cfg.eb, "T": T_eff, "C": C,
+                    "m_seg_per_s": round(total / dt / 1e6, 2),
+                    "util": round(total / max(iters, 1.0), 4),
+                    "cull_survival": round(surv, 4)}) + "\n")
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--T", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--json", default="", help="append one JSON line per "
+                    "measurement here (the committed-artifact form)")
     args = ap.parse_args()
 
     import jax
@@ -43,30 +45,51 @@ def main():
     S, T, N = args.S, args.T, args.iters
     HI = jax.lax.Precision.HIGHEST
 
-    def timed(name, kernel, *tabs):
-        @jax.jit
-        def run(*tabs):
-            return pl.pallas_call(
-                kernel,
-                out_shape=jax.ShapeDtypeStruct((8, T), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((S, T), jnp.float32)],
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 << 20),
-            )(*tabs)
+    # Two-point slope measurement: each kernel is compiled at N and 4N
+    # in-kernel iterations and the per-iter cost is the SLOPE between
+    # their best wall times. This cancels the dispatch + sync round-trip
+    # entirely — the tunnel constant has varied across rounds (~28 ms in
+    # r3, ~26 ms with several-ms jitter in r4), and subtracting a stale or
+    # even freshly measured constant leaves µs-scale N=64 loops negative
+    # in the noise. Kernel bodies read the trip count from _cur_n at
+    # trace time (body_loop below).
+    _cur_n = [N]
 
-        out = run(*tabs)
-        _ = float(jnp.sum(out))
-        best = 1e9
+    def timed(name, kernel, *tabs):
+        runs = []
+        for n in (N, 4 * N):
+            _cur_n[0] = n
+
+            def run(*tabs):
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((8, T), jnp.float32),
+                    scratch_shapes=[pltpu.VMEM((S, T), jnp.float32)],
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 << 20),
+                )(*tabs)
+
+            compiled = jax.jit(run).lower(*tabs).compile()
+            _ = float(jnp.sum(compiled(*tabs)))  # absorb first dispatch
+            runs.append((n, compiled))
+        best = {n: 1e9 for n, _r in runs}
         for _rep in range(args.reps):
-            t0 = time.perf_counter()
-            out = run(*tabs)
-            _ = float(jnp.sum(out))
-            best = min(best, time.perf_counter() - t0)
-        # ~28 ms tunnel round-trip is excluded by reporting per-iter cost
-        # differences, not absolute: report raw per-iter anyway.
-        per = (best - 0.028) / N
+            for n, run_c in runs:
+                t0 = time.perf_counter()
+                out = run_c(*tabs)
+                _ = float(jnp.sum(out))
+                best[n] = min(best[n], time.perf_counter() - t0)
+        per = (best[4 * N] - best[N]) / (3 * N)
         print(f"{name:34s}: {per * 1e6:8.1f} us/iter "
               f"({per * 940e6:9.0f} cyc @940MHz)", flush=True)
+        if args.json:
+            import json
+            with open(args.json, "a") as f:
+                f.write(json.dumps({"name": name.strip(), "S": S, "T": T,
+                                    "iters": [N, 4 * N],
+                                    "us_per_iter": round(per * 1e6, 2),
+                                    "cycles_at_940MHz":
+                                        int(per * 940e6)}) + "\n")
 
     rng = np.random.default_rng(0)
 
@@ -88,7 +111,7 @@ def main():
                 return jax.lax.dot_general(
                     mx_ref[...], rhs, (((1,), (0,)), ((), ())),
                     precision=prec, preferred_element_type=jnp.float32)
-            body_loop(N, f, jnp.zeros((S, T), jnp.float32), out_ref, acc)
+            body_loop(_cur_n[0], f, jnp.zeros((S, T), jnp.float32), out_ref, acc)
         return kern
 
     timed("lane16 f32 default", k_lane16(None), mx)
@@ -104,7 +127,7 @@ def main():
                 return jax.lax.dot_general(
                     mxt_ref[...], rhs, (((0,), (0,)), ((), ())),
                     precision=prec, preferred_element_type=jnp.float32)
-            body_loop(N, f, jnp.zeros((S, T), jnp.float32), out_ref, acc)
+            body_loop(_cur_n[0], f, jnp.zeros((S, T), jnp.float32), out_ref, acc)
         return kern
 
     try:
@@ -125,7 +148,7 @@ def main():
                     at_ref[...], m, (((1,), (0,)), ((), ())),
                     precision=prec, preferred_element_type=jnp.float32)
                 return a * 0.5 + jnp.pad(r, ((0, S - 24), (0, 0)))
-            body_loop(N, f, jnp.zeros((S, T), jnp.float32), out_ref, acc)
+            body_loop(_cur_n[0], f, jnp.zeros((S, T), jnp.float32), out_ref, acc)
         return kern
 
     atb = at.astype(jnp.bfloat16)
@@ -137,7 +160,7 @@ def main():
                 at_ref[...], m, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             return a * 0.5 + jnp.pad(r, ((0, S - 24), (0, 0)))
-        body_loop(N, f, jnp.zeros((S, T), jnp.float32), out_ref, acc)
+        body_loop(_cur_n[0], f, jnp.zeros((S, T), jnp.float32), out_ref, acc)
 
     timed("extract f32 default", k_extract(None), at)
     timed("extract f32 HIGHEST", k_extract(HI), at)
@@ -170,7 +193,7 @@ def main():
             tn = -b - sq
             tc = jnp.where(tn > 1e-3, tn, -b + sq)
             return jnp.where(tc > 1e-3, tc, 3e37)
-        body_loop(N, f, jnp.zeros((S, T), jnp.float32), out_ref, acc)
+        body_loop(_cur_n[0], f, jnp.zeros((S, T), jnp.float32), out_ref, acc)
 
     timed("elemq ~25 VPU ops  ", k_elemq, sph)
 
@@ -179,7 +202,7 @@ def main():
         def f(a, i):
             m = jnp.min(a, axis=0, keepdims=True)
             return a + (a == m).astype(jnp.float32)
-        body_loop(N, f, jnp.ones((S, T), jnp.float32), out_ref, acc)
+        body_loop(_cur_n[0], f, jnp.ones((S, T), jnp.float32), out_ref, acc)
 
     timed("min+eqmask         ", k_minmask, sph)
 
