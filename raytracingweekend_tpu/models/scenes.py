@@ -268,12 +268,10 @@ def checker_spheres(aspect: float) -> st.Scene:
     return b.build(background=st.BG_GRADIENT, name="checker_spheres")
 
 
-def _earth_pixels(image_path: str | None = None):
-    """earth.jpg pixels via the native libjpeg decoder, or a procedural
-    stand-in (latitude bands) so image-texture scenes always render."""
+def earth_texture_path(image_path: str | None = None) -> str | None:
+    """First decodable earth-texture candidate, or None (tests use this to
+    skip external image-golden gates when no decoder/asset is present)."""
     import os
-
-    import numpy as np
 
     from ..utils import image as image_mod
 
@@ -287,9 +285,23 @@ def _earth_pixels(image_path: str | None = None):
     for cand in candidates:
         if cand and os.path.exists(cand):
             try:
-                return image_mod.load_image(cand)
+                image_mod.load_image(cand)
             except ValueError:
                 continue
+            return cand
+    return None
+
+
+def _earth_pixels(image_path: str | None = None):
+    """earth.jpg pixels via the native libjpeg decoder, or a procedural
+    stand-in (latitude bands) so image-texture scenes always render."""
+    import numpy as np
+
+    from ..utils import image as image_mod
+
+    cand = earth_texture_path(image_path)
+    if cand is not None:
+        return image_mod.load_image(cand)
     v = np.linspace(0.0, 1.0, 256)[:, None]
     u = np.linspace(0.0, 1.0, 512)[None, :]
     land = (np.sin(u * 21.0) * np.sin(v * 13.0)) > 0.3

@@ -43,10 +43,33 @@ GOLDENS = {
     # volume path: reference constant_medium + isotropic via the oracle's
     # smoke_scene (same book-2 ch.9 constants as models/scenes.py)
     "cornell_smoke": "cornell_smoke_32x32_8192spp.bin",
+    # image-texture path: the oracle renders through the UNMODIFIED
+    # reference image_texture (texture.h:73-98) fed the exact texel bytes
+    # the framework uses (tools/export_texture_raw.py -> oracle load_rtwi)
+    # — external parity for the one feature that was previously gated only
+    # mega-vs-wavefront (both repo code).
+    "earth": "earth_32x32_4096spp.bin",
+    "earth_rect": "earth_rect_32x32_4096spp.bin",
+}
+
+# Multi-tile goldens (128x128 = four T=4096 megakernel tiles): exercise the
+# tile pixel layout, inv permutation, per-tile RNG streams, and overdraw
+# renormalization pixelwise ON HARDWARE via tools/mega_golden_check.py
+# --multitile (the 32x32 rows above all fit one tile). Kept out of the
+# default CPU suite for cost; spp encoded in the filename.
+GOLDENS_MULTITILE = {
+    "cornell_box": "cornell_box_128x128_8192spp.bin",
+    "random_balls": "random_balls_128x128_2048spp.bin",
 }
 
 
 def _ours(scene_name, nx, ny, spp, max_depth=50):
+    if scene_name.startswith("earth"):
+        from raytracingweekend_tpu.models.scenes import earth_texture_path
+        if earth_texture_path() is None:
+            pytest.skip("earth goldens need the decoded earth.jpg texels "
+                        "(make -C native); procedural fallback would "
+                        "diverge from the oracle's RTWI bytes")
     scene = make_scene(scene_name, nx / ny)
     cfg = RenderConfig(nx=nx, ny=ny, spp=spp, max_depth=max_depth,
                        samples_per_launch=min(spp, 64), seed=7)
@@ -96,7 +119,8 @@ if FULL:
         ny, nx, _ = golden.shape
         spp = {"dielectric": 4096, "light_sample": 4096,
                "cornell_box": 8192, "random_balls": 2048,
-               "cornell_smoke": 8192}[scene_name]
+               "cornell_smoke": 8192, "earth": 4096,
+               "earth_rect": 4096}[scene_name]
         ours = _ours(scene_name, nx, ny, spp)
         g = np.asarray(golden)
         o = np.asarray(ours, np.float64)

@@ -23,14 +23,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
 SPPS = {"dielectric": 4096, "cornell_box": 8192, "random_balls": 2048,
-        "cornell_smoke": 8192, "light_sample": 4096}
+        "cornell_smoke": 8192, "light_sample": 4096, "earth": 4096,
+        "earth_rect": 4096}
+MULTITILE_SPPS = {"cornell_box": 8192, "random_balls": 2048}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes",
                     default="cornell_box,random_balls,dielectric,"
-                            "cornell_smoke,light_sample")
+                            "cornell_smoke,light_sample,earth,earth_rect")
+    ap.add_argument("--multitile", action="store_true",
+                    help="gate the 128x128 goldens (4 T=4096 tiles) instead "
+                         "of the single-tile 32x32 set — proves tile "
+                         "layout/inv permutation/per-tile RNG/overdraw "
+                         "renormalization pixelwise on hardware")
     ap.add_argument("--launch-spp", type=int, default=512)
     ap.add_argument("--SB", type=int, default=0,
                     help="0 = measured auto plan")
@@ -43,16 +50,20 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from test_golden import GOLDENS, load_golden
+    from test_golden import GOLDENS, GOLDENS_MULTITILE, load_golden
     from raytracingweekend_tpu.models.scenes import make_scene
     from raytracingweekend_tpu.ops import megakernel as mk
 
+    goldens, spps = ((GOLDENS_MULTITILE, MULTITILE_SPPS) if args.multitile
+                     else (GOLDENS, SPPS))
     interp = jax.default_backend() in ("cpu", "gpu")
     ok_all = True
     for name in args.scenes.split(","):
-        golden = np.asarray(load_golden(GOLDENS[name]), np.float64)
+        if name not in goldens:
+            continue
+        golden = np.asarray(load_golden(goldens[name]), np.float64)
         ny, nx, _ = golden.shape
-        spp = SPPS[name]
+        spp = spps[name]
         scene = make_scene(name, nx / ny)
         assert mk.supports_scene(scene), name
         acc = np.zeros((ny, nx, 3), np.float64)
@@ -74,8 +85,9 @@ def main():
         frac_ok = float((err <= tol).mean())
         passed = mean_rel < 0.02 and frac_ok > 0.995
         ok_all &= passed
-        print(f"mega {name}: mean_rel={mean_rel:.4f} frac_ok={frac_ok:.4f} "
-              f"{'PASS' if passed else 'FAIL'}", flush=True)
+        print(f"mega {name} {nx}x{ny}: mean_rel={mean_rel:.4f} "
+              f"frac_ok={frac_ok:.4f} {'PASS' if passed else 'FAIL'}",
+              flush=True)
     return 0 if ok_all else 1
 
 

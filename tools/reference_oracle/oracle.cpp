@@ -12,9 +12,14 @@
 // Output: "RTWO <nx> <ny>\n" header + float64 LE canvas, row 0 = image
 // bottom (the reference canvas convention, cpp:247).
 //
-// Usage: oracle <scene> <nx> <ny> <spp> <max_depth> <out.bin>
+// Usage: oracle <scene> <nx> <ny> <spp> <max_depth> <out.bin> [tex.rtwi]
 //   scene in {cornell_box, dielectric, random_balls, light_sample,
-//             cornell_smoke}
+//             cornell_smoke, earth, earth_rect}
+//   earth/earth_rect need the raw RTWI texture dumped by
+//   tools/export_texture_raw.py — the reference's image_texture
+//   (texture.h:73-98) is dead code upstream (no decoder in its tree); the
+//   raw loader below feeds it the same texel bytes the framework uses so
+//   the image path is gated against the UNMODIFIED reference sampler.
 
 #define _USE_MATH_DEFINES
 #include <cfloat>  // FLT_MAX, used by sphere.h but included transitively on MSVC
@@ -247,10 +252,87 @@ class smoke_min_scene : public scene {
   }
 };
 
+// Minimal raw-texture loader for the reference's image_texture
+// (texture.h:73-98 wants flat RGB8 bytes, row 0 = image top). Format
+// written by tools/export_texture_raw.py: "RTWI <nx> <ny>\n" + payload.
+static std::shared_ptr<image_texture::byte_array> load_rtwi(const char* path,
+                                                            int* nx,
+                                                            int* ny) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) { std::perror("fopen rtwi"); return nullptr; }
+  char magic[5] = {0};
+  if (std::fscanf(f, "%4s %d %d", magic, nx, ny) != 3 ||
+      std::strcmp(magic, "RTWI") != 0) {
+    std::fclose(f);
+    std::fprintf(stderr, "bad RTWI header in %s\n", path);
+    return nullptr;
+  }
+  std::fgetc(f);  // the newline terminating the header
+  size_t n = size_t(*nx) * size_t(*ny) * 3;
+  auto data = std::make_shared<image_texture::byte_array>(n);
+  if (std::fread(data->data(), 1, n, f) != n) {
+    std::fclose(f);
+    std::fprintf(stderr, "short RTWI payload in %s\n", path);
+    return nullptr;
+  }
+  std::fclose(f);
+  return data;
+}
+
+// Image-texture globe: same constants as
+// raytracingweekend_tpu/models/scenes.py earth_scene (book-2 ch."image
+// texture mapping" layout; exercises get_sphere_uv + image_texture).
+class earth_scene_oracle : public scene {
+ public:
+  earth_scene_oracle(double aspect,
+                     std::shared_ptr<image_texture::byte_array> px, int tnx,
+                     int tny)
+      : scene() {
+    auto tex = std::make_shared<image_texture>(px, tnx, tny);
+    std::vector<std::shared_ptr<hittable>> objects;
+    objects.push_back(std::make_shared<sphere>(
+        vec3(0.0, 0.0, 0.0), 2.0, std::make_shared<lambertian>(tex)));
+    this->world = hittable_list(objects);
+    this->cam = camera(vec3(13.0, 2.0, 3.0), vec3(0.0, 0.0, 0.0),
+                       vec3(0.0, 1.0, 0.0), 20.0, aspect, 0.0, 10.0, 0.0,
+                       1.0);
+    this->background_type = BackgroundType::Gradient;
+  }
+};
+
+// Image texture on an axis RECT (+ textured sphere + diffuse floor): same
+// constants as scenes.py earth_rect_scene — exercises xy_rect's planar uv
+// (hittable.h:158-159) through image_texture::value, the combination the
+// reference's dead image_texture never reaches.
+class earth_rect_scene_oracle : public scene {
+ public:
+  earth_rect_scene_oracle(double aspect,
+                          std::shared_ptr<image_texture::byte_array> px,
+                          int tnx, int tny)
+      : scene() {
+    auto tex = std::make_shared<image_texture>(px, tnx, tny);
+    std::vector<std::shared_ptr<hittable>> objects;
+    objects.push_back(std::make_shared<xy_rect>(
+        -3.0, 3.0, -1.5, 1.5, -1.0, std::make_shared<lambertian>(tex)));
+    objects.push_back(std::make_shared<sphere>(
+        vec3(0.0, 0.0, 2.0), 1.0, std::make_shared<lambertian>(tex)));
+    objects.push_back(std::make_shared<sphere>(
+        vec3(0.0, -101.8, 0.0), 100.0,
+        std::make_shared<lambertian>(
+            std::make_shared<constant_texture>(vec3(0.6, 0.6, 0.6)))));
+    this->world = hittable_list(objects);
+    this->cam = camera(vec3(0.0, 0.5, 9.0), vec3(0.0, 0.0, 0.0),
+                       vec3(0.0, 1.0, 0.0), 40.0, aspect, 0.0, 10.0, 0.0,
+                       1.0);
+    this->background_type = BackgroundType::Gradient;
+  }
+};
+
 int main(int argc, char** argv) {
-  if (argc != 7) {
+  if (argc != 7 && argc != 8) {
     std::fprintf(stderr,
-                 "usage: %s <scene> <nx> <ny> <spp> <max_depth> <out.bin>\n",
+                 "usage: %s <scene> <nx> <ny> <spp> <max_depth> <out.bin>"
+                 " [tex.rtwi]\n",
                  argv[0]);
     return 2;
   }
@@ -277,7 +359,19 @@ int main(int argc, char** argv) {
     s = std::make_unique<smoke_min_scene>(aspect);
   else if (name == "fog_min")
     s = std::make_unique<fog_min_scene>(aspect);
-  else {
+  else if (name == "earth" || name == "earth_rect") {
+    if (argc != 8) {
+      std::fprintf(stderr, "%s needs a tex.rtwi argument\n", name.c_str());
+      return 2;
+    }
+    int tnx = 0, tny = 0;
+    auto px = load_rtwi(argv[7], &tnx, &tny);
+    if (!px) return 1;
+    if (name == "earth")
+      s = std::make_unique<earth_scene_oracle>(aspect, px, tnx, tny);
+    else
+      s = std::make_unique<earth_rect_scene_oracle>(aspect, px, tnx, tny);
+  } else {
     std::fprintf(stderr, "unknown scene %s\n", name.c_str());
     return 2;
   }
