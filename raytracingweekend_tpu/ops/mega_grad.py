@@ -974,7 +974,7 @@ def build_tables_traced(scene: st.Scene, base: st.Scene, meta: dict):
                     (mk.C_CZ, c0p[:, 2]), (mk.C_DCX, dc[:, 0]),
                     (mk.C_DCY, dc[:, 1]), (mk.C_DCZ, dc[:, 2]),
                     (mk.C_T0, t0p), (mk.C_IDT, idt), (mk.C_R2, r2),
-                    (mk.C_ACT, actf)):
+                    (mk.C_ACT, actf), (mk.C_NR2, -r2)):
         sph_tab = sph_tab.at[:, lane].set(v)
 
     # ---- attribute table: structure from base, values traced ----

@@ -72,7 +72,8 @@ _HIT_CUT = 1.0e30  # best_t above this == miss
 A_ROWS = 24
 
 # ---- intersect-table lanes: (S, 128), sphere-major (pallas_intersect) ----
-(C_CX, C_CY, C_CZ, C_DCX, C_DCY, C_DCZ, C_T0, C_IDT, C_R2, C_ACT) = range(10)
+(C_CX, C_CY, C_CZ, C_DCX, C_DCY, C_DCZ, C_T0, C_IDT, C_R2, C_ACT,
+ C_NR2) = range(11)
 SPH_LANES = 128
 
 # ---- cluster AABB lanes: (C, 128) ----
@@ -625,25 +626,43 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                             if c_mov[2]:
                                 cz = cz + frac * sph_ref[elo:elo + EE,
                                                          C_DCZ:C_DCZ + 1]
-                        ocx = ox_s - cx
-                        ocy = oy_s - cy
-                        ocz = oz_s - cz
-                        b = ocx * dx_s + ocy * dy_s + ocz * dz_s
-                        # r2 lane is -1 on inactive rows (build_tables),
-                        # making disc < 0 there — the active mask costs
-                        # zero ops.
-                        cc = (ocx * ocx + ocy * ocy + ocz * ocz
-                              - sph_ref[elo:elo + EE, C_R2:C_R2 + 1])
-                        disc = b * b - cc
+                        # Sign-flipped half-b form: co = c - o gives
+                        # nb = dot(co, d) = -b, so both roots are plain
+                        # add/sub (nb -+ sq) with no negation op; the
+                        # nr2 table lane (= -r2; +1 on inactive rows so
+                        # disc < 0 masks them for free) seeds the |co|^2
+                        # accumulator so the whole cc chain is three
+                        # fmas — two fewer VPU ops per (sphere, ray) on
+                        # the hottest line of the renderer (224.4 ->
+                        # 229.1 M seg/s on book-1; the rsqrt form below
+                        # then takes it to 240).
+                        cox = cx - ox_s
+                        coy = cy - oy_s
+                        coz = cz - oz_s
+                        nb = cox * dx_s + coy * dy_s + coz * dz_s
+                        cc = (cox * cox + (coy * coy + (coz * coz
+                              + sph_ref[elo:elo + EE, C_NR2:C_NR2 + 1])))
+                        disc = nb * nb - cc
                         # Unguarded sqrt: disc < 0 yields NaN, every
                         # comparison with NaN is false, so the two selects
                         # funnel misses to BIG — three fewer VPU ops per
-                        # (sphere, ray) than the max+compare+and form on
-                        # the hottest line of the renderer.
-                        sq = jnp.sqrt(disc)
-                        tn = -b - sq
-                        tc = jnp.where(tn > t_min, tn, -b + sq)
-                        tcv = jnp.where(tc > t_min, tc, BIG)
+                        # (sphere, ray) than the max+compare+and form.
+                        # disc * rsqrt(disc) == sqrt(disc): the VPU's sqrt
+                        # is NOT full-throughput while rsqrt + mul is
+                        # (measured +4.6% whole-kernel on book-1, 229.1 ->
+                        # 240.1 M seg/s; golden parity holds incl. glass).
+                        # disc == 0 becomes 0 * inf = NaN -> miss: a
+                        # measure-zero exact-tangency that the reference's
+                        # own [0.001, inf) interval treats as noise.
+                        sq = disc * jax.lax.rsqrt(disc)
+                        tn = nb - sq
+                        # Flattened near-else-far select (sphere.h:56-77):
+                        # tn > t_min already implies the validity test, so
+                        # the two selects nest on independent compares
+                        # (shorter dependency chain, same op count/values).
+                        tf = nb + sq
+                        tcv = jnp.where(tn > t_min, tn,
+                                        jnp.where(tf > t_min, tf, BIG))
                         blk_min = jnp.min(tcv, axis=0, keepdims=True)
                         old_best = sf_ref[R_BEST:R_BEST + 1, sl]
                         if cfg.fe and "extract" in cfg.stub:
@@ -832,17 +851,20 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                             if dmov[2]:
                                 cz = cz + frac * sph_ref[sub,
                                                          C_DCZ:C_DCZ + 1]
-                        ocx = ox_c - cx
-                        ocy = oy_c - cy
-                        ocz = oz_c - cz
-                        b = ocx * dx_c + ocy * dy_c + ocz * dz_c
-                        cc = (ocx * ocx + ocy * ocy + ocz * ocz
-                              - sph_ref[sub, C_R2:C_R2 + 1])
-                        disc = b * b - cc
-                        sq = jnp.sqrt(disc)
-                        tn = -b - sq
-                        tc = jnp.where(tn > t_min, tn, -b + sq)
-                        tcv = jnp.where(tc > t_min, tc, BIG)
+                        # Same sign-flipped fma-chained quadratic as the
+                        # static sweep above (bitwise-identical results).
+                        cox = cx - ox_c
+                        coy = cy - oy_c
+                        coz = cz - oz_c
+                        nb = cox * dx_c + coy * dy_c + coz * dz_c
+                        cc = (cox * cox + (coy * coy + (coz * coz
+                              + sph_ref[sub, C_NR2:C_NR2 + 1])))
+                        disc = nb * nb - cc
+                        sq = disc * jax.lax.rsqrt(disc)
+                        tn = nb - sq
+                        tf = nb + sq
+                        tcv = jnp.where(tn > t_min, tn,
+                                        jnp.where(tf > t_min, tf, BIG))
                         blk_min = jnp.min(tcv, axis=0, keepdims=True)
                         old_best = sf_ref[R_BEST:R_BEST + 1, sl]
                         upd = blk_min < old_best
@@ -1968,7 +1990,7 @@ def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0,
     for lane, v in ((C_CX, c0p[:, 0]), (C_CY, c0p[:, 1]), (C_CZ, c0p[:, 2]),
                     (C_DCX, dc[:, 0]), (C_DCY, dc[:, 1]), (C_DCZ, dc[:, 2]),
                     (C_T0, t0p), (C_IDT, idt), (C_R2, r2),
-                    (C_ACT, actp)):
+                    (C_ACT, actp), (C_NR2, -r2)):
         sph_tab[:, lane] = v
 
     # shading attributes via material/texture tables (gathers are fine here:

@@ -43,6 +43,8 @@ def main():
                     help="super-cluster group size (0 = off)")
     ap.add_argument("--dyn", type=int, default=-1,
                     help="dynamic survivor-list sweep (1/0, -1 = auto)")
+    ap.add_argument("--unroll", type=int, default=0,
+                    help="bounce iterations per while-loop trip (0 = auto)")
     ap.add_argument("--stats", action="store_true",
                     help="also report utilization and cull-survival rate")
     args = ap.parse_args()
@@ -69,6 +71,7 @@ def main():
                              super_group=args.sg,
                              dyn_cull=(None if args.dyn < 0
                                        else bool(args.dyn)),
+                             unroll=args.unroll or None,
                              return_stats=True)
 
     key = jax.random.key(0)
