@@ -1698,9 +1698,13 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             wy = alby * 1e-30 + 0.7
             wz = albz * 1e-30 + 0.7
             scatter_ok = dy < 2.0  # unit dirs: always true, un-foldable
-        # NOTE: no jnp.where on i1 vectors — Mosaic lowers bool select_n
-        # through an i8->i1 trunci it does not support.
-        scatter_ok = jnp.logical_or(jnp.logical_not(is_lam), lam_ok)
+        else:
+            # NOTE: no jnp.where on i1 vectors — Mosaic lowers bool
+            # select_n through an i8->i1 trunci it does not support.
+            # (Assigned under else: an unconditional overwrite would keep
+            # lam_ok's sampler chain alive under the -shade stub and make
+            # its delta undercount.)
+            scatter_ok = jnp.logical_or(jnp.logical_not(is_lam), lam_ok)
         if cfg.has_light:
             # ---- one-sided emission (diffuse_light, material.h:238-244):
             # emits when the ray direction agrees with the normal; the
@@ -1755,7 +1759,16 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
         done = done + jnp.where(finished, 1.0, 0.0)
 
         # ---- regenerate finished slots' next sample ----
-        gox, goy, goz, gdx, gdy, gdz, gtm = gen_rays(it)
+        if "regen" in cfg.stub:
+            # phase stub: constant replacement rays — the per-iteration
+            # camera generation (8 hash-RNG rows, lens disk, direction
+            # normalize) becomes dead code; the state-row writes stay.
+            gox = goy = goz = jnp.zeros((1, T), jnp.float32)
+            gdx = gdy = jnp.zeros((1, T), jnp.float32)
+            gdz = jnp.ones((1, T), jnp.float32)
+            gtm = jnp.zeros((1, T), jnp.float32)
+        else:
+            gox, goy, goz, gdx, gdy, gdz, gtm = gen_rays(it)
         sf_ref[R_OX:R_OX + 1, :] = jnp.where(alive, px_, gox)
         sf_ref[R_OY:R_OY + 1, :] = jnp.where(alive, py_, goy)
         sf_ref[R_OZ:R_OZ + 1, :] = jnp.where(alive, pz_, goz)
@@ -1869,6 +1882,38 @@ def _morton_order(centers: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable").astype(np.int32)
 
 
+def _kd_cluster_order(centers: np.ndarray, SB: int) -> np.ndarray:
+    """Order by balanced kd-split: recursively partition on the widest
+    axis so every SB-sized chunk of the result is a spatially compact
+    box. Tighter cluster AABBs than Morton-code chunking (whose z-curve
+    chunks straddle cell boundaries): measured on-chip survival
+    0.186 -> 0.176 at 14.4k spheres / SB=128 (34.8 -> 37.4 M seg/s,
+    +7.5%); at 3.6k the running-best ordered-traversal kills already
+    dominate and the change is noise (64.5 -> 65.3, survival 0.431 ->
+    0.429). Leaves keep whole multiples of SB on the left so every
+    cluster except the last is exactly full."""
+    n = centers.shape[0]
+    order = np.empty(n, np.int32)
+    pos = 0
+
+    def rec(idx):
+        nonlocal pos
+        if idx.size <= SB:
+            order[pos:pos + idx.size] = idx
+            pos += idx.size
+            return
+        pts = centers[idx]
+        ax = int(np.argmax(pts.max(axis=0) - pts.min(axis=0)))
+        k = -(-idx.size // SB)          # clusters needed
+        nl = (k // 2) * SB              # full-SB left half
+        part = np.argpartition(pts[:, ax], nl)
+        rec(idx[part[:nl]])
+        rec(idx[part[nl:]])
+
+    rec(np.arange(n, dtype=np.int32))
+    return order
+
+
 _TABLE_CACHE: dict = {}
 
 
@@ -1945,8 +1990,16 @@ def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0,
                              rad[live], t0[live], t1[live]], axis=1)
             _, first = np.unique(geom, axis=0, return_index=True)
             live = live[np.sort(first)]
-        order = (live[_morton_order(c0[live])] if live.size
-                 else live.astype(np.int32))
+        # Multi-cluster tables use the balanced kd-split order (compact
+        # per-cluster boxes -> lower slab survival); single-cluster and
+        # super-group tables keep the Morton curve (sg unions need
+        # spatially CONSECUTIVE clusters, which the kd leaf order does
+        # not guarantee between siblings at different depths).
+        if live.size > SB and not sg:
+            order = live[_kd_cluster_order(c0[live], SB)]
+        else:
+            order = (live[_morton_order(c0[live])] if live.size
+                     else live.astype(np.int32))
         n = order.size
         S = max(SB, ((n + SB - 1) // SB) * SB)
         C = S // SB
@@ -2548,13 +2601,16 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
                batch_votes=batch_votes, dyn=dyn_cull,
                sg=meta["sg"], Cg=meta["Cg"],
                # Measured auto (docs/PERF.md): amortizing the while-loop's
-               # cross-lane any() + scalar branch over 8 bounce iterations
-               # is worth +41% on cornell-class scenes (647 -> 912 M seg/s,
-               # cheap iterations) and nothing on big-sphere-table scenes
-               # (the sweep dwarfs the check; overshoot wastes more than
-               # the check costs). Tape mode must stay exact (1 row/iter).
+               # cross-lane any() + scalar branch over 16 bounce iterations
+               # is worth +41% on cornell-class scenes at 8 (647 -> 912 M
+               # seg/s r2) plus another +1-6% at 16 (cornell 933 -> 941,
+               # smoke 1155 -> 1223, earth_rect 192 -> 195; 32 measured
+               # 1232 smoke but -2% cornell) and nothing on
+               # big-sphere-table scenes (the sweep dwarfs the check;
+               # overshoot wastes more than the check costs). Tape mode
+               # must stay exact (1 row/iter).
                unroll=((1 if tape or (meta["has_spheres"]
-                                      and meta["S"] >= 256) else 8)
+                                      and meta["S"] >= 256) else 16)
                        if unroll is None else unroll),
                n_iters=(spp // k) * max_depth if tape else 0,
                clus_moving=meta["clus_moving"],

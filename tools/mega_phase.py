@@ -59,7 +59,9 @@ def main():
 
     variants = [("full", ()), ("-extract", ("extract",)),
                 ("-quad", ("quad",)), ("-shade", ("shade",)),
-                ("-quad-shade", ("quad", "shade"))]
+                ("-regen", ("regen",)),
+                ("-quad-shade", ("quad", "shade")),
+                ("-quad-shade-regen", ("quad", "shade", "regen"))]
     key = jax.random.key(0)
     rows = []
     for name, stub in variants:
