@@ -359,10 +359,12 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             light_ref, med_ref, nperm_ref, nrvh_ref, nrvl_ref, img_ref,
             seed_ref, out_ref, *scratch, cfg):
     """One tile: T per-pixel slots, each tracing cfg.spp full paths."""
-    af_ref = tc_ref = vote_ref = ids_ref = None
+    af_ref = tc_ref = vote_ref = ids_ref = cnt_ref = None
     scratch = list(scratch)
     if cfg.batch_votes or cfg.dyn:
         vote_ref = scratch.pop(0)
+    if cfg.dyn and cfg.dord:
+        cnt_ref = scratch.pop()            # SMEM bucket counts/offsets
     if cfg.dyn:
         ids_ref = scratch.pop()            # SMEM survivor-id list
     if cfg.fe:
@@ -753,9 +755,11 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
             # paid per geometric survivor, not per cluster. Chunked votes
             # (NCH > 1) cut sweep work further (whole-tile any() keeps
             # blocks a coherent sub-group never touches: measured survival
-            # 0.186 -> 0.114 at NCH=4, 0.093 at NCH=8). Survivors are
-            # visited in ascending Morton id, the same order as the static
-            # sweep, so strictly-better merges resolve ties identically.
+            # 0.186 -> 0.114 at NCH=4, 0.093 at NCH=8). With cfg.dord
+            # survivors are visited near-to-far (bucket-sorted mean slab
+            # entry) instead of ascending cluster id; the strictly-better
+            # merge then resolves exact-t ties to the NEAREST-cluster
+            # visitor — a measure-zero difference post-dedup.
 
             # Conservative per-axis motion flags: a runtime cluster id
             # cannot select its static per-cluster (x, y, z) triple, so
@@ -812,20 +816,85 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                                                jnp.maximum(bty0, bty1)),
                                    jnp.maximum(btz0, btz1))
                 bamask = (btlo <= bthi) & act_c
-                vote_ref[:, 0:1] = jnp.any(bamask, axis=1,
-                                           keepdims=True).astype(jnp.float32)
+                if cfg.dord:
+                    # ---- NEAR-TO-FAR survivor order (round-4): sweeping
+                    # survivors in ascending slab-entry order tightens
+                    # R_BEST early, so surv_body's re-vote (slab entry
+                    # behind the running best loses) kills far clusters
+                    # the id-ordered walk would still sweep. Key = MIN
+                    # masked slab entry per cluster (mean measured the
+                    # same survival for one more reduce); quantized into
+                    # cfg.dord buckets and counting-sorted in scalar SMEM
+                    # code (~8 scalar ops/cluster — the sweep it reorders
+                    # is ~5 orders of magnitude bigger). Bucket NB is the
+                    # non-survivor sentinel; ascending cluster id breaks
+                    # ties inside a bucket (stable placement pass). A
+                    # monotone BREAK on the sorted walk (bucket floor >=
+                    # max-over-lanes best => every later survivor fails)
+                    # is a measured dead end: the while_loop + value-
+                    # returning cond + per-sweep masked max-reduce cost
+                    # more than the skipped far-tail votes saved (39.2 ->
+                    # 36.9 M at 14.4k, 65.1 -> 60.1 M at 3.6k; docs/
+                    # PERF.md; scalar-reduce feasibility stays proven in
+                    # tools/mosaic_repros/repro_scalar_reduce.py).
+                    NB = cfg.dord
+                    bkey = jnp.min(jnp.where(bamask, btlo, BIG), axis=1,
+                                   keepdims=True)              # (C, 1)
+                    surv = bkey < 0.5 * BIG
+                    kmin = jnp.min(bkey)                       # rank-0
+                    kmax = jnp.max(jnp.where(surv, bkey, -BIG))
+                    scale = float(NB) / jnp.maximum(kmax - kmin, 1e-20)
+                    bf = jnp.clip((bkey - kmin) * scale, 0.0,
+                                  float(NB - 1))
+                    vote_ref[:, 0:1] = jnp.where(surv, bf, float(NB))
 
-                # ---- scalar compaction: surviving cluster ids -> SMEM ----
-                def compact(c, cnt):
-                    vote = vote_ref[c, 0] > 0.0
+                    def zero(b, acc):
+                        cnt_ref[b] = jnp.int32(0)
+                        return acc
 
-                    def store():
-                        ids_ref[cnt] = c
+                    jax.lax.fori_loop(0, NB + 1, zero, jnp.int32(0))
 
-                    pl.when(vote)(store)
-                    return cnt + jnp.where(vote, 1, 0).astype(jnp.int32)
+                    def count(c, acc):
+                        b = vote_ref[c, 0].astype(jnp.int32)
+                        cnt_ref[b] = cnt_ref[b] + 1
+                        return acc
 
-                n_surv = jax.lax.fori_loop(0, C, compact, jnp.int32(0))
+                    jax.lax.fori_loop(0, C, count, jnp.int32(0))
+
+                    def prefix(b, acc):
+                        t = cnt_ref[b]
+                        cnt_ref[b] = acc
+                        return acc + t
+
+                    n_surv = jax.lax.fori_loop(0, NB, prefix, jnp.int32(0))
+
+                    def place(c, acc):
+                        b = vote_ref[c, 0].astype(jnp.int32)
+
+                        def put():
+                            o = cnt_ref[b]
+                            ids_ref[o] = c
+                            cnt_ref[b] = o + 1
+
+                        pl.when(b < NB)(put)
+                        return acc
+
+                    jax.lax.fori_loop(0, C, place, jnp.int32(0))
+                else:
+                    vote_ref[:, 0:1] = jnp.any(
+                        bamask, axis=1, keepdims=True).astype(jnp.float32)
+
+                    # ---- scalar compaction: survivor ids -> SMEM ----
+                    def compact(c, cnt):
+                        vote = vote_ref[c, 0] > 0.0
+
+                        def store():
+                            ids_ref[cnt] = c
+
+                        pl.when(vote)(store)
+                        return cnt + jnp.where(vote, 1, 0).astype(jnp.int32)
+
+                    n_surv = jax.lax.fori_loop(0, C, compact, jnp.int32(0))
 
                 def dyn_sweep(lo, sl=sl):
                     af_vals = af_ref[:, sl]
@@ -880,8 +949,7 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     sf_ref[R_BLK:R_BLK + 1, sl] = (
                         sf_ref[R_BLK:R_BLK + 1, sl] + 1.0)
 
-                def surv_body(si, carry, sl=sl):
-                    c = ids_ref[si]
+                def revote(c, sl=sl):
                     # Tightened re-vote against the CURRENT running best
                     # (slab entry behind the closest hit already found
                     # cannot win; same epsilon discipline as slab_mask).
@@ -898,14 +966,17 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                     thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                                   jnp.maximum(ty0, ty1)),
                                       jnp.maximum(tz0, tz1))
-                    amask = ((tlo <= thi)
-                             & (tlo * (1.0 - 2.4e-7)
-                                < sf_ref[R_BEST:R_BEST + 1, sl]) & act_c)
+                    return ((tlo <= thi)
+                            & (tlo * (1.0 - 2.4e-7)
+                               < sf_ref[R_BEST:R_BEST + 1, sl]) & act_c)
+
+                def surv_body(si, carry, sl=sl):
+                    c = ids_ref[si]
 
                     def sweep():
                         dyn_sweep(c * SB)
 
-                    pl.when(jnp.any(amask))(sweep)
+                    pl.when(jnp.any(revote(c)))(sweep)
                     return carry
 
                 jax.lax.fori_loop(0, n_surv, surv_body, jnp.int32(0))
@@ -2415,7 +2486,9 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
                else [] if cfg.idx_extract
                else [pltpu.VMEM((S, T), jnp.float32)])
             + [pltpu.VMEM((STATE_ROWS, T), jnp.float32)]
-            + ([pltpu.SMEM((cfg.C,), jnp.int32)] if cfg.dyn else [])),
+            + ([pltpu.SMEM((cfg.C,), jnp.int32)] if cfg.dyn else [])
+            + ([pltpu.SMEM((cfg.dord + 1,), jnp.int32)]
+               if cfg.dyn and cfg.dord else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         # The TPU-semantics interpreter (not the generic one) implements
@@ -2463,7 +2536,8 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
               fuse_extract: int | None = None, tape: bool = False,
               phase_stub: tuple = (), unroll: int | None = None,
               batch_votes: bool | None = None,
-              super_group: int = 0, dyn_cull: bool | None = None):
+              super_group: int = 0, dyn_cull: bool | None = None,
+              dyn_order: int | None = None):
     """Host-side launch plan: packed tables + static kernel cfg for
     _mega_call at this geometry. Shared by trace_mega and the sharded
     multi-chip entry (parallel.mesh.render_sharded_mega, which passes the
@@ -2590,6 +2664,13 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
         chunks = 1  # chunks only subdivide votes
         batch_votes = False
         dyn_cull = False
+    if dyn_order is None:
+        # Measured auto (docs/PERF.md round 4): near-to-far survivor
+        # ordering pays from mid cluster counts up where the re-vote
+        # kill has far clusters to harvest.
+        dyn_order = 16 if dyn_cull else 0
+    if not dyn_cull:
+        dyn_order = 0
     # every vote chunk must be a whole number of 128-lane registers
     chunks = max(1, min(chunks, T // 128))
     while chunks > 1 and (T % chunks or (T // chunks) % 128):
@@ -2598,7 +2679,7 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
                spp=spp // k, max_depth=max_depth, rr_depth=rr_depth,
                chunks=chunks, idx_extract=idx_extract, cull=cull, eb=eb,
                fe=fe, tape=tape, stub=tuple(phase_stub),
-               batch_votes=batch_votes, dyn=dyn_cull,
+               batch_votes=batch_votes, dyn=dyn_cull, dord=dyn_order,
                sg=meta["sg"], Cg=meta["Cg"],
                # Measured auto (docs/PERF.md): amortizing the while-loop's
                # cross-lane any() + scalar branch over 16 bounce iterations
@@ -2651,7 +2732,8 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                return_stats: bool = False,
                phase_stub: tuple = (), unroll: int | None = None,
                batch_votes: bool | None = None, super_group: int = 0,
-               dyn_cull: bool | None = None):
+               dyn_cull: bool | None = None,
+               dyn_order: int | None = None):
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
     segment count). Host-side prep is eager (concrete scene required).
 
@@ -2678,7 +2760,8 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                                 fuse_extract=fuse_extract,
                                 phase_stub=phase_stub, unroll=unroll,
                                 batch_votes=batch_votes,
-                                super_group=super_group, dyn_cull=dyn_cull)
+                                super_group=super_group, dyn_cull=dyn_cull,
+                                dyn_order=dyn_order)
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
      cam_vec, meta) = tabs
     pixf, inv = _pixel_layout(nx, ny, T, k)

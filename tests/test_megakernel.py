@@ -396,20 +396,22 @@ def test_batch_votes_with_super_group_compiles_and_is_exact():
 def test_dyn_cull_is_bitwise_exact():
     """Round-4 dynamic survivor-list sweep (SMEM cluster-id compaction +
     runtime-trip fori over dynamic VMEM slices): votes and re-votes only
-    SKIP provably-losing clusters and survivors sweep in ascending Morton
-    id — the identical merge order — so radiance must be bitwise identical
-    to the interleaved-vote path. random_balls covers the conservative
-    motion flags (moving spheres); chunked variants pin the per-chunk
-    compaction."""
+    SKIP provably-losing clusters, so radiance must be bitwise identical
+    to the interleaved-vote path — both in ascending-cluster-id order
+    (dyn_order=0) and in the near-to-far bucket-sorted order
+    (dyn_order=16/8: a different VISIT order but the same strictly-better
+    merge, identical absent exact cross-cluster t ties, which dedup makes
+    measure-zero). random_balls covers the conservative motion flags
+    (moving spheres); chunked variants pin the per-chunk compaction."""
     scene = make_scene("random_balls", 1.0)
     base, sa = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=8, T=256,
                              SB=128, cull=True, interpret=True)
-    for nch in (1, 2):
+    for nch, dord in ((1, 0), (2, 0), (1, 16), (2, 16), (1, 8)):
         dyn, sd = mk.trace_mega(KEY, scene, 16, 16, 4, max_depth=8, T=256,
                                 SB=128, cull=True, dyn_cull=True,
-                                chunks=nch, interpret=True)
+                                chunks=nch, dyn_order=dord, interpret=True)
         np.testing.assert_array_equal(np.asarray(base), np.asarray(dyn),
-                                      err_msg=f"chunks={nch}")
+                                      err_msg=f"chunks={nch} dord={dord}")
         assert float(sa) == float(sd)
 
 

@@ -43,6 +43,9 @@ def main():
                     help="super-cluster group size (0 = off)")
     ap.add_argument("--dyn", type=int, default=-1,
                     help="dynamic survivor-list sweep (1/0, -1 = auto)")
+    ap.add_argument("--dord", type=int, default=-1,
+                    help="near-to-far survivor order buckets "
+                         "(0 = off, -1 = auto)")
     ap.add_argument("--unroll", type=int, default=0,
                     help="bounce iterations per while-loop trip (0 = auto)")
     ap.add_argument("--stats", action="store_true",
@@ -71,6 +74,8 @@ def main():
                              super_group=args.sg,
                              dyn_cull=(None if args.dyn < 0
                                        else bool(args.dyn)),
+                             dyn_order=(None if args.dord < 0
+                                        else args.dord),
                              unroll=args.unroll or None,
                              return_stats=True)
 
