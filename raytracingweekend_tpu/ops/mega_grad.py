@@ -344,15 +344,27 @@ def make_replay(ctx):
                     scx = scx + frac * at_s("dcx")
                     scy = scy + frac * at_s("dcy")
                     scz = scz + frac * at_s("dcz")
-                ocx = ox - scx
-                ocy = oy - scy
-                ocz = oz - scz
-                b = ocx * dx + ocy * dy + ocz * dz
-                cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                disc = safe(is_sph, b * b - cc, 1.0)
-                sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
-                tn = -b - sq
-                t_s = jnp.where(tn > t_min, tn, -b + sq)
+                # Sign-flipped fma chain + rsqrt root, mirroring the
+                # kernel forward bit-for-bit on the same backend
+                # (megakernel.py quadratic block: co = c - o, nb = -b,
+                # cc seeded by -r^2, sq = disc * rsqrt(disc)): forward
+                # and replay share rounding so near-boundary root
+                # selects cannot flip between tape and replay. The
+                # maximum() guard only changes lanes where disc <= tiny
+                # (non-winners / tangency) and keeps reverse-mode
+                # gradients finite where the kernel's unguarded NaN
+                # funnel would poison them.
+                cox = scx - ox
+                coy = scy - oy
+                coz = scz - oz
+                nb = cox * dx + coy * dy + coz * dz
+                nr2 = -(rad * rad)
+                cc = cox * cox + (coy * coy + (coz * coz + nr2))
+                disc = safe(is_sph, nb * nb - cc, 1.0)
+                disc = jnp.maximum(disc, 1e-30)
+                sq = disc * lax.rsqrt(disc)
+                tn = nb - sq
+                t_s = jnp.where(tn > t_min, tn, nb + sq)
                 best_t = jnp.where(is_sph, t_s, best_t)
                 rinv = 1.0 / safe(is_sph, rad)
 

@@ -53,6 +53,15 @@ from ..models import scene_types as st
 BIG = 3.0e37
 _HIT_CUT = 1.0e30  # best_t above this == miss
 
+# The dord survivor cut (`bkey < 0.5 * BIG`) may classify a cluster whose
+# min masked slab entry is >= 0.5*BIG as a non-survivor even though the
+# id-ordered walk would still sweep it. That reclassification is only
+# radiance-safe because any hit such a cluster could produce has
+# t >= 0.5*BIG > _HIT_CUT and is therefore discarded as a miss anyway —
+# the two constants are coupled, and this assert keeps a future edit to
+# either from silently breaking dord's bitwise-exactness guarantee.
+assert 0.5 * BIG > _HIT_CUT, "dord survivor cut must exceed the miss cut"
+
 # ---- attribute-extraction table rows: (24, S), attribute-major ----
 # Rows 16-23 carry the checker-texture children (texture.h:29-50): CHK is
 # 1.0 on checker-textured primitives, EVEN/ODD their baked child colors.
@@ -2395,6 +2404,13 @@ def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0,
     uniform_time = bool(n and np.all(t0a == t0a[0])
                         and np.all(idta == idta[0]))
     meta = dict(S=S, C=C, SB=SB, sg=sg_eff, Cg=Cg,
+                # host-side copies of the member-cluster AABBs for the
+                # plan-time coherence binning (_coherent_pixel_layout):
+                # recomputing them there would re-derive the kd/Morton
+                # cluster assignment; a device pull-back would pay the
+                # tunnel round-trip per launch
+                clus_lo=clus_tab[:C, K_MINX:K_MINZ + 1].copy(),
+                clus_hi=clus_tab[:C, K_MAXX:K_MAXZ + 1].copy(),
                 uniform_time=uniform_time,
                 ut_t0=float(t0a[0]) if n else 0.0,
                 ut_idt=float(idta[0]) if n else 0.0,
@@ -2500,19 +2516,15 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
     return out
 
 
-@functools.lru_cache(maxsize=8)
-def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
-    """Block-linear pixel order split into tiles of T lanes covering
-    T/k pixels with k sample-parallel slots each (k slots of one pixel
-    finish their spp/k samples in near-lockstep, shrinking the per-tile
-    tail). Returns (pixf (n_tiles, 4, T) f32 rows [i, j, valid, pad],
-    inverse perm)."""
-    from .integrator import _block_linear_order
-
+def _layout_from_order(order, inv, nx: int, ny: int, T: int, k: int):
+    """Split a pixel permutation into tiles of T lanes covering T/k
+    pixels with k sample-parallel slots each (k slots of one pixel finish
+    their spp/k samples in near-lockstep, shrinking the per-tile tail).
+    Returns (pixf (n_tiles, 4, T) f32 rows [i, j, valid, pad], inverse
+    perm)."""
     assert T % k == 0
     Tp = T // k
     n_pix = nx * ny
-    order, inv = _block_linear_order(nx, ny)
     n_tiles = -(-n_pix // Tp)
     n_pad = n_tiles * Tp
     order_p = np.pad(order, (0, n_pad - n_pix), constant_values=n_pix)
@@ -2525,6 +2537,93 @@ def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
     pixf[:, 1, :] = safe // nx
     pixf[:, 2, :] = valid.astype(np.float32)
     return jnp.asarray(pixf), inv
+
+
+@functools.lru_cache(maxsize=8)
+def _pixel_layout(nx: int, ny: int, T: int, k: int = 1):
+    """Block-linear pixel order split into tiles (see _layout_from_order)."""
+    from .integrator import _block_linear_order
+
+    order, inv = _block_linear_order(nx, ny)
+    return _layout_from_order(order, inv, nx, ny, T, k)
+
+
+_ORDER_CACHE: dict = {}
+
+
+def _coherent_pixel_layout(scene: st.Scene, meta: dict, nx: int, ny: int,
+                           T: int, k: int, t_min: float = 0.001):
+    """Cluster-coherence pixel binning for large-S scenes (round-5).
+
+    Survival in the culled sweep is set by TILE coherence: a tile whose
+    lanes' rays touch few clusters votes the rest off. Block-linear order
+    gives 2-D screen locality, but a 4096-lane tile's primary frustum
+    still slices through many clusters in DEPTH, and secondary rays
+    start wherever the primaries land. Binning pixels by the cluster
+    their central primary ray enters FIRST groups lanes by 3-D scene
+    locality instead: primaries in a tile then open against one cluster,
+    and their secondaries start inside that cluster's neighborhood.
+    The assignment is pure plan-time numpy arithmetic on the already-
+    built cluster AABBs — no kernel change, no gathers; the inverse
+    permutation restores the canvas exactly as for block-linear order
+    (the TPU-native answer, at regen granularity, to the ray-reordering
+    literature the measured gather costs rule out — docs/PERF.md).
+
+    Within a bin, block-linear rank breaks ties so each bin stays
+    screen-compact. Memoized per (scene identity, geometry) — the
+    binning costs ~1 s at 14.4k clusters x 1 M pixels and is reused
+    across every launch of a render/bench loop."""
+    import weakref
+
+    key = id(scene)
+    sub = (nx, ny, T, k, meta["C"], meta["SB"])
+    entry = _ORDER_CACHE.get(key)
+    if entry is not None and entry[0]() is scene and sub in entry[1]:
+        return entry[1][sub]
+
+    from .integrator import _block_linear_order
+
+    cam = scene.camera
+    o = np.asarray(cam.origin, np.float32)
+    ll = np.asarray(cam.lower_left_corner, np.float32)
+    hz = np.asarray(cam.horizontal, np.float32)
+    vt = np.asarray(cam.vertical, np.float32)
+    C = meta["C"]
+    lo = np.asarray(meta["clus_lo"], np.float32)         # (C, 3)
+    hi = np.asarray(meta["clus_hi"], np.float32)
+    n_pix = nx * ny
+    ii = (np.arange(nx, dtype=np.float32) + 0.5) / nx
+    jj = (np.arange(ny, dtype=np.float32) + 0.5) / ny
+    # (n_pix, 3) central primary directions, row-major p = j*nx + i
+    d = (ll[None, :] + ii[None, :, None] * hz[None, None, :]
+         + jj[:, None, None] * vt[None, None, :]).reshape(n_pix, 3)
+    d -= o[None, :]
+    invd = 1.0 / np.where(d == 0.0, 1e-30, d)
+    best_e = np.full(n_pix, np.inf, np.float32)
+    best_c = np.full(n_pix, C, np.int32)
+    for c in range(C):
+        t0 = (lo[c][None, :] - o[None, :]) * invd
+        t1 = (hi[c][None, :] - o[None, :]) * invd
+        tn = np.minimum(t0, t1).max(axis=1)
+        tf = np.maximum(t0, t1).min(axis=1)
+        entry_t = np.maximum(tn, t_min)
+        better = (tf >= entry_t) & (entry_t < best_e)
+        best_e[better] = entry_t[better]
+        best_c[better] = c
+    _, bl_rank = _block_linear_order(nx, ny)
+    order = np.lexsort((bl_rank, best_c)).astype(np.int32)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(n_pix, dtype=np.int32)
+    val = _layout_from_order(order, inv, nx, ny, T, k)
+    if entry is not None and entry[0]() is scene:
+        entry[1][sub] = val
+    else:
+        try:
+            ref = weakref.ref(scene, lambda _: _ORDER_CACHE.pop(key, None))
+        except TypeError:
+            return val
+        _ORDER_CACHE[key] = (ref, {sub: val})
+    return val
 
 
 def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
@@ -2733,7 +2832,8 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                phase_stub: tuple = (), unroll: int | None = None,
                batch_votes: bool | None = None, super_group: int = 0,
                dyn_cull: bool | None = None,
-               dyn_order: int | None = None):
+               dyn_order: int | None = None,
+               coherent: bool | None = None):
     """Render via the megakernel. Returns ((ny, nx, 3) radiance sums,
     segment count). Host-side prep is eager (concrete scene required).
 
@@ -2764,7 +2864,17 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
                                 dyn_order=dyn_order)
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
      cam_vec, meta) = tabs
-    pixf, inv = _pixel_layout(nx, ny, T, k)
+    if coherent is None:
+        # Auto: binning only moves the needle where survival does — the
+        # multi-cluster culled sweeps. Keyed on cluster count alone (NOT
+        # on cull/dyn flags) so A/B runs across culling variants keep an
+        # identical slot->pixel map, hence identical per-lane RNG streams
+        # and bitwise-comparable radiance.
+        coherent = meta["C"] >= 8 and meta["has_spheres"]
+    if coherent and meta["C"] > 1:
+        pixf, inv = _coherent_pixel_layout(scene, meta, nx, ny, T, k)
+    else:
+        pixf, inv = _pixel_layout(nx, ny, T, k)
     n_tiles = pixf.shape[0]
     seed = jax.random.randint(key, (1, 1), 0, np.int32(2 ** 31 - 1),
                               dtype=jnp.int32)

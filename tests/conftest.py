@@ -20,6 +20,7 @@ if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
@@ -28,3 +29,21 @@ else:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _xla_cpu_executable_relief():
+    """Mitigation for a deterministic XLA:CPU crash (round-5).
+
+    The full 222-test suite segfaults inside XLA:CPU's
+    backend_compile_and_load while compiling a TRIVIAL a*b jit ~30 tests
+    after the ~53 Pallas-interpret megakernel/tape-replay tests have run
+    (the suite minus those two files is green, every file is green alone
+    or re-run — the corruption is accumulated executable state, not any
+    single kernel; identical stack across runs, not OOM). Dropping jit
+    caches at module boundaries releases the accumulated loaded
+    executables so the LLVM JIT never reaches the corrupting state; the
+    retraces this forces are cheap on CPU relative to the suite.
+    """
+    yield
+    jax.clear_caches()

@@ -21,13 +21,23 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
-from raytracingweekend_tpu.models.scenes import _earth_pixels  # noqa: E402
+from raytracingweekend_tpu.models.scenes import (  # noqa: E402
+    _earth_pixels,
+    earth_texture_path,
+)
 
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "reference_oracle",
         "earth.rtwi")
+    # Refuse to export the procedural latitude-band fallback: an oracle
+    # texture that silently disagrees with decoder-equipped runs would
+    # invalidate every earth golden row downstream.
+    if earth_texture_path() is None:
+        sys.exit("export_texture_raw: native JPEG decoder or earth asset "
+                 "unavailable — refusing to export the procedural fallback "
+                 "as the oracle texture (build native/ first: make -C native)")
     pix = np.asarray(_earth_pixels(), np.float64)  # (ny, nx, 3), row 0 bottom
     ny, nx, _ = pix.shape
     data = np.rint(pix * 255.0).astype(np.uint8)[::-1]  # row 0 -> top

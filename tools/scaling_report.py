@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def predicted_ici_model(nx=1200, ny=800, launch_spp=512, T=4096,
-                        single_chip_rays_per_s=223.5e6,
+                        single_chip_rays_per_s=241.2e6,
                         mean_bounces_per_sample=None):
     """Analytic forward-render scaling model for a (dp, sp) mesh on a real
     slice. Per launch, per chip:
@@ -73,7 +73,7 @@ def predicted_ici_model(nx=1200, ny=800, launch_spp=512, T=4096,
     return {
         "config": {"nx": nx, "ny": ny, "launch_spp": launch_spp, "T": T,
                    "single_chip_rays_per_s": single_chip_rays_per_s,
-                   "source": "BENCH_r03.json book-1 median"},
+                   "source": "BENCH_r04.json book-1 median"},
         "note": ("Forward-render psum payload is lanes*16 B per launch per "
                  "chip, ring-allreduced over the sp axis only; dp shards "
                  "are collective-free. At the flagship config the payload "
