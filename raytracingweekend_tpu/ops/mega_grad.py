@@ -147,6 +147,15 @@ def make_replay(ctx):
     med_map = jnp.asarray(np.asarray(med_rows + (0,))[:max(V, 1)]
                           if V else np.zeros(1, np.int64)).astype(jnp.int32)
     inv = ctx["inv"]
+    # f64 twin (round-5, VERDICT #7): ctx["f64"] promotes every
+    # continuous replay value to float64 (pass an f64-cast scene and
+    # enable jax_enable_x64). The tape fixes every discrete decision
+    # from the f32 kernel forward, so the f64 replay re-walks the
+    # IDENTICAL paths with ~2^-52 arithmetic - the tightened-
+    # tolerance self-validation mode of the flagship path
+    # (tests/test_f64.py::test_f64_mega_replay_twin). RNG uniforms
+    # stay bit-identical to the kernel (f32 values promoted exactly).
+    RT = jnp.float64 if ctx.get("f64") else jnp.float32
 
     def safe(pred, x, alt=1.0):
         return jnp.where(pred, x, alt)
@@ -154,7 +163,7 @@ def make_replay(ctx):
     def pack(d):
         """Stack a dict of (K,) rows into a (P, K) matrix + name index."""
         names = list(d)
-        return (jnp.stack([jnp.asarray(d[n], jnp.float32) for n in names],
+        return (jnp.stack([jnp.asarray(d[n], RT) for n in names],
                           axis=0),
                 {n: i for i, n in enumerate(names)})
 
@@ -167,18 +176,18 @@ def make_replay(ctx):
         evc = tex.color[tex.even[ti]]
         odc = tex.color[tex.odd[ti]]
         return dict(
-            mt=mats.mtype[mi].astype(jnp.float32),
+            mt=mats.mtype[mi].astype(RT),
             albx=col[:, 0], alby=col[:, 1], albz=col[:, 2],
             fz=mats.fuzz[mi], ri=mats.ref_idx[mi],
             noi=jnp.where(tt == st.TEX_NOISE,
-                          1.0 + tex.noise_mode[ti].astype(jnp.float32),
+                          1.0 + tex.noise_mode[ti].astype(RT),
                           0.0),
             nsc=tex.scale[ti],
-            chk=(tt == st.TEX_CHECKER).astype(jnp.float32),
+            chk=(tt == st.TEX_CHECKER).astype(RT),
             evx=evc[:, 0], evy=evc[:, 1], evz=evc[:, 2],
             odx=odc[:, 0], ody=odc[:, 1], odz=odc[:, 2],
             img=jnp.where(tt == st.TEX_IMAGE,
-                          1.0 + tex.image_id[ti].astype(jnp.float32),
+                          1.0 + tex.image_id[ti].astype(RT),
                           0.0))
 
     def replay_lanes(scene: st.Scene, tape, seed_arr, pixf):
@@ -192,10 +201,11 @@ def make_replay(ctx):
         # per-block so replay_lanes works on any shard's lane block
 
         def uni(n_rows, salt, seed, it):
-            """(n_t, n_rows, T) uniforms, bit-identical to the kernel's."""
+            """(n_t, n_rows, T) uniforms, bit-identical to the kernel's
+            (f32 values, promoted exactly under the f64 twin)."""
             return jax.vmap(
                 lambda tl: mk._uniforms(n_rows, T, seed, tl, it, salt,
-                                        bitcast=_BC))(tile_ids)
+                                        bitcast=_BC))(tile_ids).astype(RT)
 
         def extract(matx, idx_dict, idx):
             """One-hot MXU extraction of matx's columns at per-lane
@@ -210,11 +220,11 @@ def make_replay(ctx):
             mantissa)."""
             K = matx.shape[1]
             oh = (jax.lax.broadcasted_iota(jnp.int32, (K, M_), 0)
-                  == idx.reshape(1, M_)).astype(jnp.float32)
+                  == idx.reshape(1, M_)).astype(RT)
             out = jax.lax.dot_general(
                 matx, oh, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=RT)
             out = out.reshape(matx.shape[0], n_tiles, T)
             return lambda name: out[idx_dict[name]]
 
@@ -261,7 +271,7 @@ def make_replay(ctx):
                       sth=rects.sin_t[rect_map],
                       offx=roff_r[:, 0], offy=roff_r[:, 1],
                       offz=roff_r[:, 2],
-                      ax=rects.axis[rect_map].astype(jnp.float32),
+                      ax=rects.axis[rect_map].astype(RT),
                       fl=rects.flip[rect_map])
             dr.update(_mat_rows(mats, tex, rects.mat[rect_map]))
             rect_m, RIx = pack(dr)
@@ -269,7 +279,7 @@ def make_replay(ctx):
             mp0 = media.p0[med_map]
             mp1 = media.p1[med_map]
             moff_v = media.offset[med_map]
-            dv = dict(kind=media.kind[med_map].astype(jnp.float32),
+            dv = dict(kind=media.kind[med_map].astype(RT),
                       p0x=mp0[:, 0], p0y=mp0[:, 1], p0z=mp0[:, 2],
                       p1x=mp1[:, 0], p1y=mp1[:, 1], p1z=mp1[:, 2],
                       cth=media.cos_t[med_map], sth=media.sin_t[med_map],
@@ -293,7 +303,7 @@ def make_replay(ctx):
                 offy = c_u[1] * rdx + c_vv[1] * rdy
                 offz = c_u[2] * rdx + c_vv[2] * rdy
             else:
-                offx = offy = offz = jnp.zeros((n_tiles, T), jnp.float32)
+                offx = offy = offz = jnp.zeros((n_tiles, T), RT)
             ox = c_o[0] + offx
             oy = c_o[1] + offy
             oz = c_o[2] + offz
@@ -314,9 +324,9 @@ def make_replay(ctx):
             is_rect = (hit & (wi >= S) & (wi < S + R)) if R else (hit & False)
             is_med = (hit & (wi >= S + R)) if V else (hit & False)
 
-            one = jnp.ones((n_tiles, T), jnp.float32)
-            zero = jnp.zeros((n_tiles, T), jnp.float32)
-            best_t = jnp.full((n_tiles, T), BIG, jnp.float32)
+            one = jnp.ones((n_tiles, T), RT)
+            zero = jnp.zeros((n_tiles, T), RT)
+            best_t = jnp.full((n_tiles, T), BIG, RT)
             nx_ = zero
             ny_ = one
             nz_ = zero
@@ -543,7 +553,7 @@ def make_replay(ctx):
                 def _fl(a):
                     return a.reshape(1, M_)
 
-                mval = jnp.zeros((n_tiles, T), jnp.float32)
+                mval = jnp.zeros((n_tiles, T), RT)
                 if st.NOISE_MARBLE in cfg.noise_modes:
                     mar = mk._marble(_fl(px_), _fl(py_), _fl(pz_),
                                      _fl(nsc_v), M_).reshape(n_tiles, T)
@@ -598,8 +608,8 @@ def make_replay(ctx):
                     np.int32))
                 nyi = jnp.take(hw, iid, axis=0)[..., 0]
                 nxi = jnp.take(hw, iid, axis=0)[..., 1]
-                i_t = (u_img * nxi.astype(jnp.float32)).astype(jnp.int32)
-                j_t = ((1.0 - v_img) * nyi.astype(jnp.float32)
+                i_t = (u_img * nxi.astype(RT)).astype(jnp.int32)
+                j_t = ((1.0 - v_img) * nyi.astype(RT)
                        - 0.001).astype(jnp.int32)
                 i_t = jnp.clip(i_t, 0, nxi - 1)
                 j_t = jnp.clip(j_t, 0, nyi - 1)
@@ -630,7 +640,7 @@ def make_replay(ctx):
                 # from the traced scene (differentiable light geometry) ----
                 ul = uni(4, 3, seed, it)
                 pickf = ul[:, 0, :] * float(L)
-                ldx = ldy = ldz = jnp.zeros((n_tiles, T), jnp.float32)
+                ldx = ldy = ldz = jnp.zeros((n_tiles, T), RT)
                 lrows = meta["light_rows"]
                 for li in range(L):
                     if cfg.light_kinds[li] == 0:
@@ -642,7 +652,7 @@ def make_replay(ctx):
                         kk = rects.k[rr]
                         pa_s = a0 + ul[:, 1, :] * (a1 - a0)
                         pb_s = b0 + ul[:, 2, :] * (b1 - b0)
-                        one_t = jnp.ones((n_tiles, T), jnp.float32)
+                        one_t = jnp.ones((n_tiles, T), RT)
                         axl = cfg.light_axes[li]
                         if axl == 0:
                             ppx, ppy, ppz = pa_s, pb_s, kk * one_t
@@ -707,7 +717,7 @@ def make_replay(ctx):
                 muz = mdz * minv
                 cosi = mux * nx_ + muy * ny_ + muz * nz_
                 cpdf = jnp.where(cosi <= 0.0, 0.0, cosi * (1.0 / math.pi))
-                acc_pdf = jnp.zeros((n_tiles, T), jnp.float32)
+                acc_pdf = jnp.zeros((n_tiles, T), RT)
                 for li in range(L):
                     if cfg.light_kinds[li] == 0:
                         rr = lrows[li]
@@ -917,8 +927,8 @@ def make_replay(ctx):
                     rx, ry, rz, depth, done, ax, ay, az), None
 
         ox0, oy0, oz0, dx0, dy0, dz0, tm0 = gen_rays(jnp.int32(-1))
-        one = jnp.ones((n_tiles, T), jnp.float32)
-        zero = jnp.zeros((n_tiles, T), jnp.float32)
+        one = jnp.ones((n_tiles, T), RT)
+        zero = jnp.zeros((n_tiles, T), RT)
         state0 = (ox0, oy0, oz0, dx0, dy0, dz0, tm0, one, one, one,
                   zero, zero, zero, zero,
                   jnp.where(valid, 0.0, spp), zero, zero, zero)
@@ -1202,7 +1212,9 @@ def build_tables_traced(scene: st.Scene, base: st.Scene, meta: dict):
                         (mk.MD_IMG, img_v)):
             med_tab = med_tab.at[:V, lane].set(v)
 
-    # ---- image atlas (hi/lo-bf16 planes, same layout as build_tables) ----
+    # ---- image atlas (hi/lo-bf16 planes, same layout as build_tables
+    # under byte_ok=False — tape plans never take the byte atlas, so the
+    # traced twin only mirrors the hi/lo split) ----
     if meta["has_image"]:
         n_img, Hp, Wp = meta["n_img"], meta["img_hp"], meta["img_wp"]
         imgs = tex.images.astype(jnp.float32)          # (I, Hm, Wm, 3)
@@ -1477,8 +1489,11 @@ def _retabbed(ctx, scene):
     are recomputed from the current geometry, so culling stays correct;
     the cfg-specialized static flags are asserted unchanged."""
     meta = ctx["meta"]
+    # byte_ok=False: tape plans keep the hi/lo atlas (continuous texel
+    # response for FD-validated texel gradients; megakernel._atlas_dims)
     tabs = mk.build_tables(scene, ctx["cfg"].SB, meta.get("sg", 0),
-                           order_override=meta["slot_ext"])
+                           order_override=meta["slot_ext"],
+                           byte_ok=False)
     new_meta = tabs[-1]
     for k in _CFG_STATIC_KEYS:
         if new_meta[k] != meta[k]:

@@ -146,7 +146,11 @@ def _uniforms(n_rows, T, seed, tile, it, salt: int,
     def c32(v):
         return jnp.int32(v - (1 << 32) if v >= (1 << 31) else v)
 
-    shr = jax.lax.shift_right_logical
+    # int32-pinned shift counts: under jax_enable_x64 (the f64 replay
+    # twin's process) a bare Python literal reaches lax as int64 and
+    # shift_right_logical rejects the mixed dtypes
+    def shr(v, k):
+        return jax.lax.shift_right_logical(v, jnp.int32(k))
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, T), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, T), 0)
     x = (seed
@@ -1486,18 +1490,38 @@ def _kernel(pixf_ref, cam_ref, sph_ref, attr_ref, clus_ref, rect_ref,
                 j_t = jnp.clip(j_t, 0, ny_i - 1)
                 oh_i = (iota_w == i_t).astype(jnp.bfloat16)     # (Wp, T)
                 oh_j = (iota_h == j_t).astype(jnp.float32)      # (Hp, T)
-                base = ii * 6 * Hp
                 ch_v = []
-                for ch in range(3):
-                    hi_d = jax.lax.dot_general(
-                        img_ref[base + ch * Hp:base + (ch + 1) * Hp, :],
-                        oh_i, dims_i, preferred_element_type=jnp.float32)
-                    lo_d = jax.lax.dot_general(
-                        img_ref[base + (3 + ch) * Hp:
-                                base + (4 + ch) * Hp, :],
-                        oh_i, dims_i, preferred_element_type=jnp.float32)
-                    ch_v.append(jnp.sum((hi_d + lo_d) * oh_j, axis=0,
-                                        keepdims=True))
+                if cfg.img_byte:
+                    # byte atlas (_atlas_dims): one plane per channel
+                    # holding EXACT round(x*255) in bf16 — 3 MXU dots per
+                    # bounce instead of 6 (the dots ARE the earth-scene
+                    # bound, docs/PERF.md round 5), reconstructed by one
+                    # f32 multiply to ~2^-24
+                    base = ii * 3 * Hp
+                    for ch in range(3):
+                        d = jax.lax.dot_general(
+                            img_ref[base + ch * Hp:base + (ch + 1) * Hp,
+                                    :],
+                            oh_i, dims_i,
+                            preferred_element_type=jnp.float32)
+                        ch_v.append(jnp.sum(d * oh_j, axis=0,
+                                            keepdims=True)
+                                    * np.float32(1.0 / 255.0))
+                else:
+                    base = ii * 6 * Hp
+                    for ch in range(3):
+                        hi_d = jax.lax.dot_general(
+                            img_ref[base + ch * Hp:base + (ch + 1) * Hp,
+                                    :],
+                            oh_i, dims_i,
+                            preferred_element_type=jnp.float32)
+                        lo_d = jax.lax.dot_general(
+                            img_ref[base + (3 + ch) * Hp:
+                                    base + (4 + ch) * Hp, :],
+                            oh_i, dims_i,
+                            preferred_element_type=jnp.float32)
+                        ch_v.append(jnp.sum((hi_d + lo_d) * oh_j, axis=0,
+                                            keepdims=True))
                 if cfg.n_img == 1:
                     texr, texg, texb = ch_v
                 else:
@@ -1910,14 +1934,27 @@ class _Cfg:
 
 
 def _atlas_dims(images) -> tuple:
-    """(n_img, Hp, Wp, bytes) of the kernel-resident image atlas: per image
-    6 bf16 planes (hi/lo x rgb) padded to the bf16 (16, 128) VMEM tile.
-    Single source of truth for the supports_scene budget gate and
-    build_tables' packing."""
+    """(n_img, Hp, Wp, bytes, is_byte) of the kernel-resident image atlas,
+    padded to the bf16 (16, 128) VMEM tile. Single source of truth for the
+    supports_scene budget gate and build_tables' packing.
+
+    is_byte: every texel is byte-quantized (x*255 integral — true for any
+    decoded image; the reference's image_texture is bytes by definition,
+    texture.h:73-98). Byte atlases store ONE bf16 plane per channel
+    holding round(x*255): integers 0..255 are EXACT in bf16, the one-hot
+    dot result is an exact small-int f32, and the kernel's final
+    (1/255) multiply reconstructs the texel to ~2^-24 — fewer planes,
+    HALF the per-bounce MXU dots, and MORE accurate than the 6-plane
+    hi/lo split (~2^-16) kept as the fallback for non-byte floats."""
     n_img, h_m, w_m, _ = images.shape
     hp = max(16, -(-h_m // 16) * 16)
     wp = max(128, -(-w_m // 128) * 128)
-    return n_img, hp, wp, n_img * 6 * hp * wp * 2
+    arr = np.asarray(images, np.float32)
+    scaled = arr * 255.0
+    is_byte = bool(np.all(np.abs(scaled - np.rint(scaled)) < 1e-3)
+                   and np.all(scaled >= -0.5) and np.all(scaled <= 255.5))
+    planes = 3 if is_byte else 6
+    return n_img, hp, wp, n_img * planes * hp * wp * 2, is_byte
 
 
 def supports_scene(scene: st.Scene) -> bool:
@@ -1997,7 +2034,8 @@ def _kd_cluster_order(centers: np.ndarray, SB: int) -> np.ndarray:
 _TABLE_CACHE: dict = {}
 
 
-def build_tables_cached(scene: st.Scene, SB: int, sg: int = 0):
+def build_tables_cached(scene: st.Scene, SB: int, sg: int = 0,
+                        byte_ok: bool = True):
     """Per-scene-object memo of build_tables: the eager packing pulls the
     sphere SoA to the host (device->host round-trips cost ~28 ms each
     through a remote tunnel), which would otherwise tax every launch.
@@ -2010,20 +2048,21 @@ def build_tables_cached(scene: st.Scene, SB: int, sg: int = 0):
     entry = _TABLE_CACHE.get(key)
     if entry is not None and entry[0]() is scene:
         per = entry[1]
-        if (SB, sg) not in per:
-            per[(SB, sg)] = build_tables(scene, SB, sg)
-        return per[(SB, sg)]
-    tables = build_tables(scene, SB, sg)
+        if (SB, sg, byte_ok) not in per:
+            per[(SB, sg, byte_ok)] = build_tables(scene, SB, sg,
+                                                  byte_ok=byte_ok)
+        return per[(SB, sg, byte_ok)]
+    tables = build_tables(scene, SB, sg, byte_ok=byte_ok)
     try:
         ref = weakref.ref(scene, lambda _: _TABLE_CACHE.pop(key, None))
     except TypeError:  # no weakref support: don't cache
         return tables
-    _TABLE_CACHE[key] = (ref, {(SB, sg): tables})
+    _TABLE_CACHE[key] = (ref, {(SB, sg, byte_ok): tables})
     return tables
 
 
 def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0,
-                 order_override=None):
+                 order_override=None, byte_ok: bool = True):
     """Host-side (eager) packing: Morton-sorted sphere tables + cluster
     AABBs + camera vector. Returns (sph_tab (S,128), attr_tab (16,S),
     clus_tab (C,128), cam_vec (1,128), meta dict). sg > 0 appends
@@ -2367,23 +2406,37 @@ def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0,
     if has_image:
         imgs = np.asarray(tex.images, np.float32)     # (I, Hm, Wm, 3)
         hw_np = np.asarray(tex.image_hw)
-        n_img, img_hp, img_wp, _ = _atlas_dims(imgs)
+        n_img, img_hp, img_wp, _, img_byte = _atlas_dims(imgs)
+        # tape/inverse-rendering plans need CONTINUOUS texel response in
+        # the re-taped kernel forward (FD-validated texel gradients), so
+        # they keep the hi/lo split; forward-only renders take the
+        # half-the-dots byte atlas
+        img_byte = img_byte and byte_ok
         h_m, w_m = imgs.shape[1], imgs.shape[2]
-        img_tab = np.zeros((n_img * 6 * img_hp, img_wp), bf16)
+        n_planes = 3 if img_byte else 6
+        img_tab = np.zeros((n_img * n_planes * img_hp, img_wp), bf16)
         for ii in range(n_img):
             for ch in range(3):
                 p = imgs[ii, :, :, ch]
-                hi = p.astype(bf16)
-                lo = (p - hi.astype(np.float32)).astype(bf16)
-                b0 = ii * 6 * img_hp
-                img_tab[b0 + ch * img_hp:
-                        b0 + ch * img_hp + h_m, :w_m] = hi
-                img_tab[b0 + (3 + ch) * img_hp:
-                        b0 + (3 + ch) * img_hp + h_m, :w_m] = lo
+                b0 = ii * n_planes * img_hp
+                if img_byte:
+                    # round(x*255) in 0..255 is EXACT in bf16 (see
+                    # _atlas_dims): one plane per channel, the kernel's
+                    # 1/255 multiply reconstructs the texel
+                    img_tab[b0 + ch * img_hp:
+                            b0 + ch * img_hp + h_m, :w_m] = (
+                        np.rint(p * 255.0).astype(bf16))
+                else:
+                    hi = p.astype(bf16)
+                    lo = (p - hi.astype(np.float32)).astype(bf16)
+                    img_tab[b0 + ch * img_hp:
+                            b0 + ch * img_hp + h_m, :w_m] = hi
+                    img_tab[b0 + (3 + ch) * img_hp:
+                            b0 + (3 + ch) * img_hp + h_m, :w_m] = lo
         img_hw = tuple((int(hw_np[ii, 0]), int(hw_np[ii, 1]))
                        for ii in range(n_img))
     else:
-        n_img, img_hp, img_wp = 0, 16, 128
+        n_img, img_hp, img_wp, img_byte = 0, 16, 128, False
         img_hw = ()
         img_tab = np.zeros((16, 128), bf16)
 
@@ -2426,7 +2479,7 @@ def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0,
                 has_noise=bool(noise_modes),
                 noise_modes=tuple(sorted(noise_modes)),
                 has_image=has_image, n_img=n_img, img_hw=img_hw,
-                img_hp=img_hp, img_wp=img_wp,
+                img_hp=img_hp, img_wp=img_wp, img_byte=img_byte,
                 has_iso=V > 0,
                 R=R, rect_axes=tuple(rect_axes),
                 rect_rot=tuple(rect_rot), rect_trans=tuple(rect_trans),
@@ -2675,7 +2728,7 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
     if super_group:
         # the group-skip path has no candidate scratch to BIG-fill
         assert fe_will_apply, "super_group requires fused extraction"
-    tabs = build_tables_cached(scene, SB, super_group)
+    tabs = build_tables_cached(scene, SB, super_group, byte_ok=not tape)
     meta = tabs[-1]
     # Keep the candidate-t scratch (S, T) within a conservative VMEM slice
     # for big sphere tables (T=4096-class shapes measurably spill).
@@ -2807,7 +2860,7 @@ def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,
                noise_modes=meta["noise_modes"],
                has_image=meta["has_image"], n_img=meta["n_img"],
                img_hw=meta["img_hw"], img_hp=meta["img_hp"],
-               img_wp=meta["img_wp"],
+               img_wp=meta["img_wp"], img_byte=meta["img_byte"],
                has_iso=meta["has_iso"],
                R=meta["R"], rect_axes=meta["rect_axes"],
                rect_rot=meta["rect_rot"], rect_trans=meta["rect_trans"],
@@ -2865,12 +2918,16 @@ def trace_mega(key, scene: st.Scene, nx: int, ny: int, spp: int,
     (sph_tab, attr_tab, clus_tab, rect_tab, light_tab, med_tab, img_tab,
      cam_vec, meta) = tabs
     if coherent is None:
-        # Auto: binning only moves the needle where survival does — the
-        # multi-cluster culled sweeps. Keyed on cluster count alone (NOT
-        # on cull/dyn flags) so A/B runs across culling variants keep an
-        # identical slot->pixel map, hence identical per-lane RNG streams
-        # and bitwise-comparable radiance.
-        coherent = meta["C"] >= 8 and meta["has_spheres"]
+        # Auto-OFF: the on-chip A/B (docs/coherence_sweep_r05.jsonl)
+        # measured binning survival-neutral at whole-tile vote width
+        # (0.375->0.376 at 3.6k, 0.1191->0.1195 at 14.4k — block-linear
+        # tiles are already as coherent as a 2048-lane union can be), so
+        # the default skips the ~1 s plan-time binning. Explicit
+        # coherent=True remains for narrower-chunk experiments; when
+        # A/B-ing culling variants, pass the SAME value to both so the
+        # slot->pixel map (hence per-lane RNG streams) stays identical
+        # and radiance stays bitwise-comparable.
+        coherent = False
     if coherent and meta["C"] > 1:
         pixf, inv = _coherent_pixel_layout(scene, meta, nx, ny, T, k)
     else:

@@ -37,6 +37,47 @@ print("f64 ok", float(a.mean()), float(rel.max()))
 """
 
 
+_MEGA_SCRIPT = r"""
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from raytracingweekend_tpu.models.scenes import make_scene
+from raytracingweekend_tpu.ops import mega_grad as mg
+from raytracingweekend_tpu.utils.validation import scene_to_dtype
+
+# Tape from the production f32 kernel forward: every discrete decision
+# (winner ids, root selects, scatter branches, RR) is FIXED, so the f64
+# replay walks the identical paths and the f32/f64 difference is pure
+# accumulated f32 round-off on the FLAGSHIP path - the megakernel
+# counterpart of the wavefront f64 mode above (reference property being
+# matched: vec3.h:39-43, double end-to-end).
+scene = make_scene("dielectric", 1.0)
+ctx = mg.plan_tape(scene, 16, 16, 4, max_depth=6, T=256)
+# the kernel forward is f32/int32 code (counter-hash RNG shifts reject
+# x64's int64 literal promotion); trace it with x64 scoped off — the
+# production path runs exactly as in an f32 process
+with jax.enable_x64(False):
+    img, tape, seed = mg.tape_forward(jax.random.key(5), ctx,
+                                      interpret=True)
+    replay32 = mg.make_replay(ctx)
+    img32 = replay32(scene, tape, seed)
+assert np.asarray(img32).dtype == np.float32
+ctx64 = dict(ctx, f64=True)
+replay64 = mg.make_replay(ctx64)
+img64 = replay64(scene_to_dtype(scene, jnp.float64), tape, seed)
+a = np.asarray(img64)
+assert a.dtype == np.float64, a.dtype
+b = np.asarray(img32, np.float64)
+rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-3)
+# f32 round-off bound on the flagship path: ~10x tighter than the 2%
+# golden gate (a real f32 precision regression would blow this first)
+assert rel.max() < 5e-4, rel.max()
+assert np.isfinite(a).all() and a.mean() > 0.05
+print("f64 mega ok", float(a.mean()), float(rel.max()))
+"""
+
+
 @pytest.mark.skipif(os.environ.get("RTW_SKIP_SUBPROC") == "1",
                     reason="subprocess tests disabled")
 def test_f64_validation_mode():
@@ -48,3 +89,21 @@ def test_f64_validation_mode():
         env=env, capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     assert "f64 ok" in out.stdout
+
+
+@pytest.mark.skipif(os.environ.get("RTW_SKIP_SUBPROC") == "1",
+                    reason="subprocess tests disabled")
+def test_f64_mega_replay_twin():
+    """The MEGAKERNEL path's f64 mode (VERDICT r4 #7): the tape+replay
+    twin re-runs the production forward's exact decision sequence in
+    float64 and must agree with the f32 replay to f32-round-off level —
+    the tightened-tolerance self-validation the wavefront f64 mode
+    provides, now on the flagship path."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", _MEGA_SCRIPT],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "f64 mega ok" in out.stdout

@@ -35,7 +35,13 @@ def main():
     ap.add_argument("--out", default="docs/bench_all.jsonl")
     ap.add_argument("--launches", type=int, default=5)
     ap.add_argument("--max-depth", type=int, default=50)
+    ap.add_argument("--scenes", default=None,
+                    help="comma list to bench a subset of SCENES")
     args = ap.parse_args()
+    scenes = SCENES
+    if args.scenes:
+        pick = set(args.scenes.split(","))
+        scenes = [s for s in SCENES if s[0] in pick]
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -45,7 +51,7 @@ def main():
 
     key = jax.random.key(0)
     rows = []
-    for name, nx, ny, spp in SCENES:
+    for name, nx, ny, spp in scenes:
         scene = make_scene(name, nx / ny)
         assert mk.supports_scene(scene), name
 

@@ -76,7 +76,10 @@ def main():
         do_ext = variant == "ext"
 
         def kern(sph_ref, attr_ref, out_ref, sf_ref, af_ref):
-            lane = jax.lax.broadcasted_iota(jnp.float32, (1, T), 1)
+            # int iota + cast: Mosaic's tpu.iota verifier rejects float
+            # results on-chip (megakernel.py has the same workaround)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(
+                jnp.float32)
             # book-1-like camera: origin cluster, downward-ish fanned dirs
             sf_ref[0:1, :] = 13.0 + lane * 1e-4            # ox
             sf_ref[1:2, :] = 2.0 + lane * 3e-5             # oy
