@@ -2537,7 +2537,8 @@ def _mega_call(pixf, cam_vec, sph_tab, attr_tab, clus_tab, rect_tab,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((48, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.n_img * 6 * cfg.img_hp if cfg.has_image
+            pl.BlockSpec((cfg.n_img * (3 if cfg.img_byte else 6)
+                          * cfg.img_hp if cfg.has_image
                           else 16, cfg.img_wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),

@@ -44,7 +44,9 @@ def test_two_process_render(tmp_path):
             text=True)
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    # 900 s: the workers now also compile the megakernel (interpret) and
+    # the tape+replay value_and_grad across the process-spanning mesh
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     a = np.load(tmp_path / "canvas_0.npy")
@@ -53,6 +55,19 @@ def test_two_process_render(tmp_path):
     np.testing.assert_array_equal(a, b)
     assert a.shape == (32, 32, 3)
     assert np.isfinite(a).all() and a.mean() > 0.05
+
+    # FLAGSHIP megakernel across the process-spanning mesh (round-5):
+    # both processes must gather the identical mega canvas, and the
+    # cross-process tape+replay grad step must agree on (loss, |g|).
+    ma = np.load(tmp_path / "mega_0.npy")
+    mb = np.load(tmp_path / "mega_1.npy")
+    np.testing.assert_array_equal(ma, mb)
+    assert ma.shape == (16, 16, 3)
+    assert np.isfinite(ma).all() and ma.mean() > 0.05
+    ga = np.load(tmp_path / "megagrad_0.npy")
+    gb = np.load(tmp_path / "megagrad_1.npy")
+    np.testing.assert_array_equal(ga, gb)
+    assert np.isfinite(ga).all() and ga[1] > 0.0  # |g| > 0
 
     # And it matches the same mesh computation run single-process on the
     # test runner's own 8 virtual devices (identical keys -> identical MC
