@@ -1934,27 +1934,33 @@ class _Cfg:
 
 
 def _atlas_dims(images) -> tuple:
-    """(n_img, Hp, Wp, bytes, is_byte) of the kernel-resident image atlas,
-    padded to the bf16 (16, 128) VMEM tile. Single source of truth for the
-    supports_scene budget gate and build_tables' packing.
-
-    is_byte: every texel is byte-quantized (x*255 integral — true for any
-    decoded image; the reference's image_texture is bytes by definition,
-    texture.h:73-98). Byte atlases store ONE bf16 plane per channel
-    holding round(x*255): integers 0..255 are EXACT in bf16, the one-hot
-    dot result is an exact small-int f32, and the kernel's final
-    (1/255) multiply reconstructs the texel to ~2^-24 — fewer planes,
-    HALF the per-bounce MXU dots, and MORE accurate than the 6-plane
-    hi/lo split (~2^-16) kept as the fallback for non-byte floats."""
+    """(n_img, Hp, Wp, bytes) of the kernel-resident image atlas, padded
+    to the bf16 (16, 128) VMEM tile. Shape-only (NO device pull — this
+    runs inside supports_scene on every launch, and an eager np.asarray
+    of the image array costs a ~28 ms tunnel round-trip per call,
+    CLAUDE.md). The byte budget is the CONSERVATIVE 6-plane hi/lo size:
+    tape plans always pack 6 planes (byte_ok=False), so gating on the
+    3-plane byte size would admit atlases the tape path cannot fit."""
     n_img, h_m, w_m, _ = images.shape
     hp = max(16, -(-h_m // 16) * 16)
     wp = max(128, -(-w_m // 128) * 128)
-    arr = np.asarray(images, np.float32)
-    scaled = arr * 255.0
-    is_byte = bool(np.all(np.abs(scaled - np.rint(scaled)) < 1e-3)
-                   and np.all(scaled >= -0.5) and np.all(scaled <= 255.5))
-    planes = 3 if is_byte else 6
-    return n_img, hp, wp, n_img * planes * hp * wp * 2, is_byte
+    return n_img, hp, wp, n_img * 6 * hp * wp * 2
+
+
+def _atlas_is_byte(imgs: np.ndarray) -> bool:
+    """True when every texel is byte-quantized (x*255 integral — true for
+    any decoded image; the reference's image_texture is bytes by
+    definition, texture.h:73-98). Byte atlases store ONE bf16 plane per
+    channel holding round(x*255): integers 0..255 are EXACT in bf16, the
+    one-hot dot result is an exact small-int f32, and the kernel's final
+    (1/255) multiply reconstructs the texel to ~2^-24 — half the
+    per-bounce MXU dots and MORE accurate than the 6-plane hi/lo split
+    (~2^-16) kept as the fallback for non-byte floats. Called on the
+    already-host-side array inside build_tables only (the result is
+    memoized with the tables by build_tables_cached)."""
+    scaled = imgs * 255.0
+    return bool(np.all(np.abs(scaled - np.rint(scaled)) < 1e-3)
+                and np.all(scaled >= -0.5) and np.all(scaled <= 255.5))
 
 
 def supports_scene(scene: st.Scene) -> bool:
@@ -2034,6 +2040,29 @@ def _kd_cluster_order(centers: np.ndarray, SB: int) -> np.ndarray:
 _TABLE_CACHE: dict = {}
 
 
+def _scene_memo(cache: dict, scene, sub_key, build):
+    """Weakref-keyed per-scene memo (shared by the table and pixel-order
+    caches): keyed by object identity with weakref eviction (Scene
+    pytrees hold unhashable arrays), so mutated/replaced scenes never
+    hit a stale entry."""
+    import weakref
+
+    key = id(scene)
+    entry = cache.get(key)
+    if entry is not None and entry[0]() is scene:
+        per = entry[1]
+        if sub_key not in per:
+            per[sub_key] = build()
+        return per[sub_key]
+    val = build()
+    try:
+        ref = weakref.ref(scene, lambda _: cache.pop(key, None))
+    except TypeError:  # no weakref support: don't cache
+        return val
+    cache[key] = (ref, {sub_key: val})
+    return val
+
+
 def build_tables_cached(scene: st.Scene, SB: int, sg: int = 0,
                         byte_ok: bool = True):
     """Per-scene-object memo of build_tables: the eager packing pulls the
@@ -2042,23 +2071,9 @@ def build_tables_cached(scene: st.Scene, SB: int, sg: int = 0,
     Keyed by object identity with weakref eviction (Scene pytrees hold
     unhashable arrays), so mutated/replaced scenes never hit a stale
     entry."""
-    import weakref
-
-    key = id(scene)
-    entry = _TABLE_CACHE.get(key)
-    if entry is not None and entry[0]() is scene:
-        per = entry[1]
-        if (SB, sg, byte_ok) not in per:
-            per[(SB, sg, byte_ok)] = build_tables(scene, SB, sg,
-                                                  byte_ok=byte_ok)
-        return per[(SB, sg, byte_ok)]
-    tables = build_tables(scene, SB, sg, byte_ok=byte_ok)
-    try:
-        ref = weakref.ref(scene, lambda _: _TABLE_CACHE.pop(key, None))
-    except TypeError:  # no weakref support: don't cache
-        return tables
-    _TABLE_CACHE[key] = (ref, {(SB, sg, byte_ok): tables})
-    return tables
+    return _scene_memo(_TABLE_CACHE, scene, (SB, sg, byte_ok),
+                       lambda: build_tables(scene, SB, sg,
+                                            byte_ok=byte_ok))
 
 
 def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0,
@@ -2406,12 +2421,12 @@ def build_tables(scene: st.Scene, SB: int = 64, sg: int = 0,
     if has_image:
         imgs = np.asarray(tex.images, np.float32)     # (I, Hm, Wm, 3)
         hw_np = np.asarray(tex.image_hw)
-        n_img, img_hp, img_wp, _, img_byte = _atlas_dims(imgs)
+        n_img, img_hp, img_wp, _ = _atlas_dims(imgs)
         # tape/inverse-rendering plans need CONTINUOUS texel response in
         # the re-taped kernel forward (FD-validated texel gradients), so
         # they keep the hi/lo split; forward-only renders take the
         # half-the-dots byte atlas
-        img_byte = img_byte and byte_ok
+        img_byte = byte_ok and _atlas_is_byte(imgs)
         h_m, w_m = imgs.shape[1], imgs.shape[2]
         n_planes = 3 if img_byte else 6
         img_tab = np.zeros((n_img * n_planes * img_hp, img_wp), bf16)
@@ -2624,17 +2639,16 @@ def _coherent_pixel_layout(scene: st.Scene, meta: dict, nx: int, ny: int,
     literature the measured gather costs rule out — docs/PERF.md).
 
     Within a bin, block-linear rank breaks ties so each bin stays
-    screen-compact. Memoized per (scene identity, geometry) — the
-    binning costs ~1 s at 14.4k clusters x 1 M pixels and is reused
-    across every launch of a render/bench loop."""
-    import weakref
+    screen-compact. Memoized per (scene identity, geometry) via
+    _scene_memo — the binning costs ~1 s at 14.4k clusters x 1 M pixels
+    and is reused across every launch of a render/bench loop."""
+    sub = (nx, ny, T, k, meta["C"], meta["SB"], t_min)
+    return _scene_memo(_ORDER_CACHE, scene, sub,
+                       lambda: _coherent_pixel_order(scene, meta, nx, ny,
+                                                     T, k, t_min))
 
-    key = id(scene)
-    sub = (nx, ny, T, k, meta["C"], meta["SB"])
-    entry = _ORDER_CACHE.get(key)
-    if entry is not None and entry[0]() is scene and sub in entry[1]:
-        return entry[1][sub]
 
+def _coherent_pixel_order(scene, meta, nx, ny, T, k, t_min):
     from .integrator import _block_linear_order
 
     cam = scene.camera
@@ -2668,16 +2682,7 @@ def _coherent_pixel_layout(scene: st.Scene, meta: dict, nx: int, ny: int,
     order = np.lexsort((bl_rank, best_c)).astype(np.int32)
     inv = np.empty_like(order)
     inv[order] = np.arange(n_pix, dtype=np.int32)
-    val = _layout_from_order(order, inv, nx, ny, T, k)
-    if entry is not None and entry[0]() is scene:
-        entry[1][sub] = val
-    else:
-        try:
-            ref = weakref.ref(scene, lambda _: _ORDER_CACHE.pop(key, None))
-        except TypeError:
-            return val
-        _ORDER_CACHE[key] = (ref, {sub: val})
-    return val
+    return _layout_from_order(order, inv, nx, ny, T, k)
 
 
 def make_plan(scene: st.Scene, nx: int, ny: int, spp: int,

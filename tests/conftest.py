@@ -46,4 +46,8 @@ def _xla_cpu_executable_relief():
     retraces this forces are cheap on CPU relative to the suite.
     """
     yield
-    jax.clear_caches()
+    # CPU-only: on the real device (RTW_TEST_TPU=1) dropping caches would
+    # force serialized server-side recompiles of 10-270 s per kernel at
+    # every module boundary (CLAUDE.md) for a crash that only XLA:CPU has.
+    if not _USE_TPU:
+        jax.clear_caches()

@@ -71,7 +71,11 @@ def main():
                     best = rate
                     stats = (segs, float(li), float(bl))
             segs, lane_iters, blocks = stats
-            meta = mk.build_tables_cached(scene, 128)[-1]
+            # the plan's OWN meta: a hardcoded SB would silently divide
+            # by the C of a clustering the auto plan never executed for
+            # scenes under the 512-live-sphere dense knee
+            meta = mk.make_plan(scene, args.nx, args.ny, spp,
+                                max_depth=50)[0][-1]
             C = meta["C"]
             row = {"scene": name, "coherent": coh,
                    "nx": args.nx, "ny": args.ny, "spp": spp,

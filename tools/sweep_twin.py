@@ -89,6 +89,7 @@ def main():
             sf_ref[4:5, :] = -inv * (0.3 + lane * 1e-5)    # dy
             sf_ref[5:6, :] = -inv                          # dz
             sf_ref[6:7, :] = lane * (1.0 / T)              # time
+            sf_ref[7:8, :] = jnp.zeros((1, T), jnp.float32)  # iter count
             af_ref[:, :] = jnp.zeros((mk.A_ROWS, T), jnp.float32)
 
             def body(carry):
@@ -143,15 +144,22 @@ def main():
                 sf_ref[6:7, :] = jnp.minimum(tm + 1e-4, 1.0)
                 if do_ext:
                     af_ref[:, :] = af_vals
-                # real while check: cross-lane any() reduce + scalar branch
+                # real while check: cross-lane any() reduce + scalar
+                # branch. The conjunct is genuinely data-dependent (the
+                # synthetic rays aim below the horizon so the ground
+                # sphere keeps hitting; sf_ref[7] proves K iterations
+                # executed) — an always-true form like `alive >= 0`
+                # would let the compiler fold the conjunct and DCE the
+                # reduce the twin exists to measure.
                 alive = jnp.any(best < BIG).astype(jnp.int32)
+                sf_ref[7:8, :] = sf_ref[7:8, :] + 1.0
                 return it + 1, alive
 
-            jax.lax.while_loop(lambda c: (c[0] < K) & (c[1] >= 0), body,
+            jax.lax.while_loop(lambda c: (c[0] < K) & (c[1] > 0), body,
                                (jnp.zeros((), jnp.int32),
                                 jnp.ones((), jnp.int32)))
             out_ref[0, 0:1, :] = sf_ref[0:1, :]
-            out_ref[0, 1:2, :] = af_ref[0:1, :]
+            out_ref[0, 1:2, :] = sf_ref[7:8, :]
 
         grid = (G,)
         fn = pl.pallas_call(
@@ -190,9 +198,12 @@ def main():
             best_dt = dt if best_dt is None else min(best_dt, dt)
         us_per_iter = best_dt / (K * G) * 1e6
         implied = T / (us_per_iter * 1e-6)
+        iters_done = float(out[0, 1, 0])
+        assert iters_done == K, (iters_done, K)  # no early exit
         row = {"variant": variant, "S": S, "EE": EE, "T": T,
                "iters": K, "grid": G, "us_per_iter": us_per_iter,
                "implied_ceiling_seg_per_s": implied,
+               "iters_done": iters_done,
                "checksum": _sync}
         rows.append(row)
         print(json.dumps(row), flush=True)
