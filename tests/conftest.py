@@ -49,5 +49,7 @@ def _xla_cpu_executable_relief():
     # CPU-only: on the real device (RTW_TEST_TPU=1) dropping caches would
     # force serialized server-side recompiles of 10-270 s per kernel at
     # every module boundary (CLAUDE.md) for a crash that only XLA:CPU has.
-    if not _USE_TPU:
+    # RTW_NO_CACHE_RELIEF=1 disables the mitigation to REPRODUCE the
+    # upstream crash (see docs/XLA_CPU_SEGFAULT.md).
+    if not _USE_TPU and not os.environ.get("RTW_NO_CACHE_RELIEF"):
         jax.clear_caches()
