@@ -577,3 +577,43 @@ def test_predicted_ici_model_arithmetic():
         # bandwidth assumption at the flagship config (the sp=8 full-spp
         # row bottoms out at 0.9989 on the pessimistic single-link bw)
         assert row["efficiency_ici_1link_90GBs"] > 0.99
+
+
+def test_byte_atlas_contract():
+    """Round-5 byte image atlas (megakernel._atlas_is_byte): decoded
+    images pack ONE exact round(x*255) bf16 plane per channel (half the
+    per-bounce MXU dots), tape plans keep the 6-plane hi/lo split
+    (continuous texel response for FD-validated texel gradients), and
+    the two encodings reconstruct the same texels to hi/lo precision."""
+    scene = make_scene("earth", 1.0)
+    imgs = np.asarray(scene.textures.images, np.float32)
+    assert mk._atlas_is_byte(imgs)  # decoded images are byte-quantized
+    n_img, hp, wp, _ = mk._atlas_dims(imgs)
+
+    tabs_b = mk.build_tables(scene, 512, byte_ok=True)
+    tabs_h = mk.build_tables(scene, 512, byte_ok=False)
+    img_b = np.asarray(tabs_b[6], np.float32)
+    img_h = np.asarray(tabs_h[6], np.float32)
+    assert img_b.shape == (n_img * 3 * hp, wp)
+    assert img_h.shape == (n_img * 6 * hp, wp)
+    assert tabs_b[-1]["img_byte"] and not tabs_h[-1]["img_byte"]
+    h, w = imgs.shape[1], imgs.shape[2]
+    # byte plane holds EXACT integers; /255 reconstructs the texel at
+    # least as accurately as hi+lo (2^-24 vs ~2^-16)
+    byte_tex = img_b[0:h, 0:w] * (1.0 / 255.0)
+    hilo_tex = img_h[0:h, 0:w] + img_h[3 * hp:3 * hp + h, 0:w]
+    ref = imgs[0, :, :, 0]
+    assert np.all(img_b[0:h, 0:w] == np.rint(ref * 255.0))
+    assert np.abs(byte_tex - ref).max() <= np.abs(hilo_tex - ref).max()
+
+    # plan routing: forward plans take the byte atlas, tape plans don't
+    cfg_fwd = mk.make_plan(scene, 16, 16, 2, max_depth=2, T=256)[1]
+    assert cfg_fwd.img_byte
+    cfg_tape = mk.make_plan(scene, 16, 16, 2, max_depth=2, T=256,
+                            tape=True)[1]
+    assert not cfg_tape.img_byte
+
+    # a non-byte float image falls back to hi/lo even with byte_ok
+    rng = np.random.default_rng(0)
+    assert not mk._atlas_is_byte(
+        rng.random((1, 8, 8, 3)).astype(np.float32))
