@@ -617,3 +617,41 @@ def test_byte_atlas_contract():
     rng = np.random.default_rng(0)
     assert not mk._atlas_is_byte(
         rng.random((1, 8, 8, 3)).astype(np.float32))
+
+
+def test_mega_two_image_atlas_matches_wavefront():
+    """n_img >= 2: the kernel's per-image select (`img_v == 1 + ii`) and
+    the per-image atlas base offsets (`base = ii * planes * Hp`) have no
+    other coverage — a sphere wearing image 0 and a rect wearing image 1
+    (different sizes, exercising the common-Hp padding and per-image
+    (ny, nx) uv scaling) must match the wavefront."""
+    import numpy as np_
+
+    from raytracingweekend_tpu.models import scene_types as st
+    from raytracingweekend_tpu.models.builder import SceneBuilder
+
+    b = SceneBuilder()
+    v = np_.linspace(0.1, 0.9, 16)[:, None, None]
+    img_a = np_.broadcast_to(v, (16, 32, 3)).copy()          # vertical ramp
+    h = np_.linspace(0.9, 0.2, 16)[None, :, None]
+    img_b = np_.broadcast_to(h, (8, 16, 3)).copy()           # horizontal
+    tex_a = b.image(img_a)
+    tex_b = b.image(img_b)
+    b.sphere((-0.6, 0.0, -1.0), 0.5, b.lambertian(tex_a))
+    b.rect("xy", 0.1, 1.1, -0.5, 0.5, -1.2, b.lambertian(tex_b))
+    b.sphere((0, -100.5, -1), 100.0,
+             b.lambertian(b.constant((0.6, 0.6, 0.6))))
+    b.camera((0, 0, 1.2), (0, 0, -1), (0, 1, 0), 70.0, 1.0, 0.0, 2.2)
+    scene = b.build(background=st.BG_GRADIENT, name="two_images")
+    assert scene.textures.images is not None
+    assert scene.textures.images.shape[0] == 2
+    assert mk.supports_scene(scene)
+    nx = ny = 24
+    spp = 12
+    a, _ = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=8, T=128,
+                         interpret=True)
+    a = np.asarray(a) / spp
+    ref = np.asarray(render_chunk(scene, KEY, nx, ny, spp, 8)) / spp
+    assert np.isfinite(a).all()
+    assert abs(a.mean() - ref.mean()) < 0.03
+    assert np.abs(_blocks(a) - _blocks(ref)).max() < 0.2
