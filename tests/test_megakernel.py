@@ -619,12 +619,16 @@ def test_byte_atlas_contract():
         rng.random((1, 8, 8, 3)).astype(np.float32))
 
 
-def test_mega_two_image_atlas_matches_wavefront():
+@pytest.mark.parametrize("byte_atlas", [True, False])
+def test_mega_two_image_atlas_matches_wavefront(byte_atlas):
     """n_img >= 2: the kernel's per-image select (`img_v == 1 + ii`) and
     the per-image atlas base offsets (`base = ii * planes * Hp`) have no
     other coverage — a sphere wearing image 0 and a rect wearing image 1
     (different sizes, exercising the common-Hp padding and per-image
-    (ny, nx) uv scaling) must match the wavefront."""
+    (ny, nx) uv scaling) must match the wavefront. Parametrized over
+    BOTH atlas layouts: byte-quantized texels route through the 3-plane
+    byte branch (base = ii * 3 * Hp), raw floats through the 6-plane
+    hi/lo branch — each with its own per-image base arithmetic."""
     import numpy as np_
 
     from raytracingweekend_tpu.models import scene_types as st
@@ -635,6 +639,9 @@ def test_mega_two_image_atlas_matches_wavefront():
     img_a = np_.broadcast_to(v, (16, 32, 3)).copy()          # vertical ramp
     h = np_.linspace(0.9, 0.2, 16)[None, :, None]
     img_b = np_.broadcast_to(h, (8, 16, 3)).copy()           # horizontal
+    if byte_atlas:
+        img_a = np_.rint(img_a * 255.0) / 255.0
+        img_b = np_.rint(img_b * 255.0) / 255.0
     tex_a = b.image(img_a)
     tex_b = b.image(img_b)
     b.sphere((-0.6, 0.0, -1.0), 0.5, b.lambertian(tex_a))
@@ -646,6 +653,10 @@ def test_mega_two_image_atlas_matches_wavefront():
     assert scene.textures.images is not None
     assert scene.textures.images.shape[0] == 2
     assert mk.supports_scene(scene)
+    imgs_np = np.asarray(scene.textures.images, np.float32)
+    assert mk._atlas_is_byte(imgs_np) == byte_atlas
+    assert mk.make_plan(scene, 8, 8, 2, max_depth=2,
+                        T=128)[1].img_byte == byte_atlas
     nx = ny = 24
     spp = 12
     a, _ = mk.trace_mega(KEY, scene, nx, ny, spp, max_depth=8, T=128,

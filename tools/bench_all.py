@@ -41,7 +41,14 @@ def main():
     scenes = SCENES
     if args.scenes:
         pick = set(args.scenes.split(","))
+        unknown = pick - {s[0] for s in SCENES}
+        if unknown:
+            raise SystemExit(f"unknown scene(s): {sorted(unknown)}; "
+                             f"choices: {[s[0] for s in SCENES]}")
         scenes = [s for s in SCENES if s[0] in pick]
+        if args.out == "docs/bench_all.jsonl":
+            raise SystemExit("--scenes subset would clobber the full "
+                             "artifact; pass an explicit --out")
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -59,11 +59,16 @@ def main():
 
             img, seg, li, bl = run(key)
             _ = float(seg)  # sync (block_until_ready does not, CLAUDE.md)
+            # keys pre-folded OUTSIDE the timed region: an eager fold_in
+            # inside it costs a ~28-60 ms dispatch round-trip per sample
+            # (CLAUDE.md measurement rules)
+            keys = [jax.random.fold_in(key, i + 1)
+                    for i in range(args.launches)]
             best = None
             stats = None
             for i in range(args.launches):
                 t0 = time.perf_counter()
-                img, seg, li, bl = run(jax.random.fold_in(key, i + 1))
+                img, seg, li, bl = run(keys[i])
                 segs = float(seg)  # sync
                 dt = time.perf_counter() - t0
                 rate = segs / dt
