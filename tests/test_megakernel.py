@@ -666,3 +666,35 @@ def test_mega_two_image_atlas_matches_wavefront(byte_atlas):
     assert np.isfinite(a).all()
     assert abs(a.mean() - ref.mean()) < 0.03
     assert np.abs(_blocks(a) - _blocks(ref)).max() < 0.2
+
+
+def test_coherent_pixel_layout_contract():
+    """Round-5 cluster-coherence binning (`coherent=True`, measured
+    survival-neutral and auto-off — docs/coherence_sweep_r05.jsonl —
+    but shipped for experiments): the binned layout must still be a
+    permutation of all pixels whose inverse reassembles the canvas
+    exactly, memoize per scene, and render the same radiance as
+    block-linear order statistically (different slot->pixel map means
+    different per-lane RNG streams, so equality is statistical)."""
+    scene = make_scene("random_balls_large", 1.0, n=30)  # ~900 spheres
+    tabs, cfg, T, k = mk.make_plan(scene, 32, 32, 2, max_depth=4, T=256)
+    meta = tabs[-1]
+    assert meta["C"] > 1
+    res = mk._coherent_pixel_layout(scene, meta, 32, 32, T, k)
+    pixf, inv = np.asarray(res[0]), res[1]
+    n_pix = 32 * 32
+    lanes = (pixf[:, 1, :] * 32 + pixf[:, 0, :]).astype(np.int64)
+    valid = pixf[:, 2, :] > 0
+    assert sorted(lanes[valid].tolist()) == list(range(n_pix))
+    # inverse: blocked-order ids permuted by inv give raster order
+    assert np.array_equal(lanes.reshape(-1)[inv], np.arange(n_pix))
+    # memoized per (scene, geometry)
+    res2 = mk._coherent_pixel_layout(scene, meta, 32, 32, T, k)
+    assert res2[0] is res[0]
+    a, _ = mk.trace_mega(KEY, scene, 32, 32, 8, max_depth=4, T=256,
+                         interpret=True, coherent=False)
+    b, _ = mk.trace_mega(KEY, scene, 32, 32, 8, max_depth=4, T=256,
+                         interpret=True, coherent=True)
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.05
