@@ -32,7 +32,6 @@ sphere.h:46-81.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
